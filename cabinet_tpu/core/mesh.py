@@ -1,0 +1,87 @@
+"""Device mesh + sharding helpers — the framework's distributed layer.
+
+The reference's distributed story is latent torch.distributed (SURVEY §2.6:
+a single `dist.reduce` of the eval histogram, DDP unwrap helpers). Here the
+equivalent is a first-class module: a named `jax.sharding.Mesh`, NamedSharding
+helpers for batch/replicated placement, and jitted steps whose gradient psums /
+histogram reductions are inserted by XLA from sharding annotations and ride ICI.
+
+Axes:
+  "data"  — data parallelism (batch dim sharded; gradients all-reduced by XLA)
+  "model" — reserved for tensor parallelism of wide layers (CAB attention
+            heads / 1x1 convs); size 1 for all reference-scale models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over available devices.
+
+    With defaults: all devices on the data axis (pure DP), model axis of 1 so
+    every step function can be written against the 2D mesh unconditionally.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        if len(devices) % n_model != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by model axis {n_model}"
+            )
+        n_data = len(devices) // n_model
+    wanted = n_data * n_model
+    if wanted > len(devices):
+        raise ValueError(f"Requested {wanted} devices, have {len(devices)}")
+    grid = np.asarray(devices[:wanted]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device_put a pytree of host arrays with batch-dim sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Device_put a pytree fully replicated over the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n != 0:
+        raise ValueError(f"Global batch {global_batch} not divisible by data axis {n}")
+    return global_batch // n
+
+
+def process_shard(n_items: int) -> slice:
+    """Slice of a global index range owned by this host (multi-host data loading)."""
+    pid, nproc = jax.process_index(), jax.process_count()
+    per = n_items // nproc
+    extra = n_items % nproc
+    start = pid * per + min(pid, extra)
+    stop = start + per + (1 if pid < extra else 0)
+    return slice(start, stop)

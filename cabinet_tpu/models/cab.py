@@ -1,0 +1,159 @@
+"""Context Aggregation Block (Flax / NHWC).
+
+Capability parity with the reference CAB (src/models/cab.py:18-216):
+  - PSPModule: pyramid adaptive-avg pooling (1,3,6,8) + bilinear upsample +
+    identity concat + 1x1 projection (cab.py:46-76),
+  - GlobalContextAttention: 1x1 q/k/v projections, PSP-enhanced key/value,
+    scaled-dot-product attention over all H*W tokens, zero-init output
+    projection (cab.py:84-162),
+  - LocalAttention: 3 stacked depthwise convs -> sigmoid gate -> x + x*mask
+    (cab.py:170-184),
+  - ContextAggregationBlock: gamma * global + local, gamma zero-init
+    (cab.py:192-216).
+
+TPU-first design notes: the adaptive pools are expressed as static matmuls
+(MXU), attention is a pair of batched matmuls over <=1024 tokens (the CAB only
+ever runs on the /32 backbone grid), and the whole block fuses under XLA. An
+optional Pallas fused-attention path (ops/attention.py) is selected with
+`use_pallas=True` for inference at fixed shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cabinet_tpu.models.layers import DWConv, adaptive_avg_pool2d, batch_norm, kaiming_a1
+
+Dtype = Any
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear NHWC resize, half-pixel centers (== torch align_corners=False)."""
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+
+
+class PSPModule(nn.Module):
+    """Pyramid pooling with residual feature preservation; (B,H,W,C)->(B,H,W,C)."""
+
+    sizes: Tuple[int, ...] = (1, 3, 6, 8)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, w = x.shape[1:3]
+        channels = x.shape[-1]
+        priors = [x]
+        for s in self.sizes:
+            pooled = adaptive_avg_pool2d(x, (s, s))
+            priors.append(resize_bilinear(pooled, (h, w)))
+        out = jnp.concatenate(priors, axis=-1)
+        return nn.Conv(channels, (1, 1), use_bias=False, dtype=self.dtype,
+                       kernel_init=kaiming_a1, name="project")(out)
+
+
+class GlobalContextAttention(nn.Module):
+    """Reduced non-local attention with PSP-enhanced key/value encoding."""
+
+    key_channels: int
+    value_channels: int
+    out_channels: Optional[int] = None
+    scale: int = 1
+    psp_sizes: Tuple[int, ...] = (1, 3, 6, 8)
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        out_channels = self.out_channels or C
+
+        x_down = x
+        if self.scale > 1:
+            x_down = nn.max_pool(x, (self.scale, self.scale),
+                                 strides=(self.scale, self.scale))
+        Hd, Wd = x_down.shape[1:3]
+
+        # Query projection: 1x1 conv (no bias) + BN + ReLU.
+        q = nn.Conv(self.key_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_a1, name="to_query")(x_down)
+        q = batch_norm(self.dtype, "query_bn")(q, use_running_average=not train)
+        q = nn.relu(q)
+
+        k = nn.Conv(self.key_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_a1, name="to_key")(x_down)
+        k = batch_norm(self.dtype, "key_bn")(k, use_running_average=not train)
+        k = nn.relu(k)
+        k = PSPModule(self.psp_sizes, dtype=self.dtype, name="psp_key")(k)
+
+        v = nn.Conv(self.value_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=kaiming_a1, name="to_value")(x_down)
+        v = PSPModule(self.psp_sizes, dtype=self.dtype, name="psp_value")(v)
+
+        q = q.reshape(B, Hd * Wd, self.key_channels)
+        k = k.reshape(B, Hd * Wd, self.key_channels)
+        v = v.reshape(B, Hd * Wd, self.value_channels)
+
+        if self.use_pallas:
+            from cabinet_tpu.ops.attention import fused_global_attention
+
+            context = fused_global_attention(q, k, v)
+        else:
+            # softmax(q k^T * K^-0.5) v over all tokens (reference cab.py:149-153).
+            attn = jnp.einsum("bnk,bmk->bnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn * (self.key_channels ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            context = jnp.einsum("bnm,bmv->bnv", attn, v,
+                                 preferred_element_type=jnp.float32).astype(v.dtype)
+
+        context = context.reshape(B, Hd, Wd, self.value_channels)
+        context = nn.Conv(out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros,
+                          name="project_out")(context)
+
+        if self.scale > 1:
+            context = resize_bilinear(context, (H, W))
+        return context
+
+
+class LocalAttention(nn.Module):
+    """Local spatial-channel refinement: x + x * sigmoid(DWConv^3(x))."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        m = DWConv(dtype=self.dtype, name="refine_0")(x, train)
+        m = DWConv(dtype=self.dtype, name="refine_1")(m, train)
+        m = DWConv(dtype=self.dtype, name="refine_2")(m, train)
+        mask = nn.sigmoid(m)
+        return x + x * mask
+
+
+class ContextAggregationBlock(nn.Module):
+    """gamma * global_attn(x) + local_attn(x); gamma zero-init scalar."""
+
+    value_channels: int
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        global_feat = GlobalContextAttention(
+            key_channels=in_channels // 2,
+            value_channels=self.value_channels,
+            out_channels=in_channels,
+            scale=1,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="global_attn",
+        )(x, train)
+        local_feat = LocalAttention(dtype=self.dtype, name="local_attn")(x, train)
+        return gamma.astype(x.dtype) * global_feat + local_feat
