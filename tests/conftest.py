@@ -1,0 +1,72 @@
+"""Shared test fixtures.
+
+Tests run on CPU with a virtual 8-device mesh so every psum/sharding path is
+exercised without TPU hardware (SURVEY §4: the reference never tests its
+distributed path — we do).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(15)
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(15)
+
+
+@pytest.fixture(scope="session")
+def small_cabinet():
+    """A tiny CABiNet built from a truncated cfg table (fast init), mirroring
+    the reference's mock_small_model fixture (tests/conftest.py:94-146)."""
+    from cabinet_tpu.models import CABiNet
+
+    cfgs = [
+        # k, t, c, SE, HS, s
+        [3, 1, 16, 1, 0, 2],
+        [3, 4.5, 24, 0, 0, 2],
+        [5, 4, 40, 1, 1, 2],
+        [5, 6, 96, 1, 1, 2],
+    ]
+    model = CABiNet(n_classes=8, mode="small", cfgs=cfgs)
+    x = jax.numpy.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model, variables
+
+
+def _make_fake_seg_tree(root, splits, n_images, size=(16, 16), num_classes=8,
+                        img_ext=".png"):
+    """Tiny images/+masks/ tree used by dataset tests."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split in splits:
+        img_dir = root / "images" / split
+        mask_dir = root / "masks" / split
+        img_dir.mkdir(parents=True, exist_ok=True)
+        mask_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n_images):
+            img = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+            mask = rng.integers(0, num_classes, size, dtype=np.uint8)
+            Image.fromarray(img).save(img_dir / f"seq{i}_{i:04d}{img_ext}")
+            Image.fromarray(mask, mode="L").save(mask_dir / f"seq{i}_{i:04d}.png")
+    return root
+
+
+@pytest.fixture
+def fake_seg_tree(tmp_path):
+    return lambda **kw: _make_fake_seg_tree(tmp_path, **kw)
