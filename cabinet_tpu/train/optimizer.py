@@ -44,9 +44,13 @@ def warmup_poly_schedule(
     def schedule(count: jnp.ndarray) -> jnp.ndarray:
         count = jnp.asarray(count, jnp.float32)
         warm = warmup_start_lr + (count / max(warmup_steps, 1)) * (lr0 - warmup_start_lr)
-        k = (count - warmup_steps) / max(float(max_iter) - warmup_steps, 1.0)
-        k = jnp.clip(k, 0.0, 1.0)
-        poly = lr0 * (1.0 - k) ** power
+        # 1-k computed as (max_iter - count)/(max_iter - warmup): no f32
+        # cancellation near max_iter, and clamping to >=0 hardens the
+        # reference formula against NaN beyond max_iter (optimizer.py:134-136).
+        remaining = jnp.clip(
+            (float(max_iter) - count) / max(float(max_iter) - warmup_steps, 1.0),
+            0.0, 1.0)
+        poly = lr0 * remaining ** power
         if warmup_steps <= 0:
             return poly
         return jnp.where(count < warmup_steps, warm, poly)

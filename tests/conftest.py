@@ -18,6 +18,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-registers itself and rewrites
+# jax_platforms; unit tests must run on the virtual 8-device CPU mesh, so
+# override after import, before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def rng():
