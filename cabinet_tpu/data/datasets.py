@@ -1,0 +1,350 @@
+"""Dataset loaders for the shared images/+masks/ layout + Cityscapes.
+
+Capability parity with the reference's four loaders
+(src/datasets/{uavid,aeroscapes,vdd,cityscapes}.py), consolidated into one
+base class because they differ only in: extension, class count,
+normalization stats, split availability, and resolution uniformity.
+
+Contracts preserved exactly:
+  - pair discovery with warn-and-skip for missing masks, error when empty
+    (uavid.py:142-168),
+  - train mode applies the aerial augmentation recipe (ResizeIfLarger ->
+    flips -> translate -> rotate -> continuous scale -> crop(pad) -> HSV ->
+    contrast jitter -> gamma -> noise -> cutout, uavid.py:192-229); val/test
+    apply NO resize/crop (native-resolution eval),
+  - per-dataset normalization constants (uavid.py:175-183,
+    aeroscapes.py:162-170, vdd.py:162-170, cityscapes ImageNet),
+  - MixUp: Beta(32,32) image blend, hard label from the dominant image
+    (uavid.py:253-271),
+  - AeroScapes has no test split (aeroscapes.py:67-70); UAVid/VDD val/test
+    batching constraints surface via `uniform_resolution`,
+  - Cityscapes remaps raw ids -> trainIds via a 256-entry LUT built from the
+    palette table (cityscapes.py:53-61,165-173).
+
+TPU-first output format: samples are returned as NHWC numpy arrays
+(image float32 (H,W,3) normalized, label int64 (H,W)) ready for host->device
+transfer without a transpose. Randomness is derived from (seed, epoch, index)
+so multi-process loading replays deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import warnings
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from cabinet_tpu.core.exceptions import DatasetError
+from cabinet_tpu.data import transforms as T
+from cabinet_tpu.data.palettes import CITYSCAPES_CLASSES, id_to_trainid_lut, load_labels_info
+
+Array = np.ndarray
+
+# Mirrors the YOLO pipeline's augmentation knobs (reference uavid.py:37-47).
+DEFAULT_AUGMENTATION: Dict[str, float] = {
+    "degrees": 10.0,
+    "translate": 0.05,
+    "scale": 0.3,
+    "flipud": 0.2,
+    "fliplr": 0.5,
+    "hsv_h": 0.01,
+    "hsv_s": 0.4,
+    "hsv_v": 0.3,
+    "mixup": 0.1,
+}
+
+
+class FolderSegDataset:
+    """Base loader for the converted images/{split} + masks/{split} layout."""
+
+    # Subclass contract ------------------------------------------------------
+    NAME = "base"
+    NUM_CLASSES = 0
+    MEAN: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    STD: Tuple[float, float, float] = (0.25, 0.25, 0.25)
+    IMG_EXT = ".png"
+    SPLITS = ("train", "val", "test")
+    UNIFORM_RESOLUTION = False  # True => val/test may batch >1
+
+    def __init__(
+        self,
+        ignore_lb: int,
+        rootpth: str,
+        cropsize: Sequence[int],
+        mode: str = "train",
+        augmentation: Optional[Dict[str, Any]] = None,
+        seed: int = 15,
+    ) -> None:
+        if mode not in ("train", "val", "test"):
+            raise ValueError(f"Mode '{mode}' not supported. "
+                             "Choose 'train', 'val', or 'test'.")
+        if mode not in self.SPLITS:
+            raise DatasetError(f"{self.NAME} has no '{mode}' split")
+        if not osp.exists(rootpth):
+            raise FileNotFoundError(f"Dataset root does not exist: {rootpth}")
+
+        self.mode = mode
+        self.ignore_lb = ignore_lb
+        self.rootpth = rootpth
+        self.cropsize = tuple(int(c) for c in cropsize)
+        self.aug = {**DEFAULT_AUGMENTATION, **(augmentation or {})}
+        self.seed = seed
+        self.epoch = 0
+
+        img_dir = osp.join(rootpth, "images", mode)
+        mask_dir = osp.join(rootpth, "masks", mode)
+        for d in (img_dir, mask_dir):
+            if not osp.exists(d):
+                raise FileNotFoundError(f"Directory not found: {d}")
+
+        self.samples: List[Tuple[str, str]] = []
+        skipped = []
+        for fn in sorted(os.listdir(img_dir)):
+            if not fn.lower().endswith(self.IMG_EXT):
+                continue
+            stem = osp.splitext(fn)[0]
+            mask_path = osp.join(mask_dir, stem + ".png")
+            if not osp.exists(mask_path):
+                skipped.append(stem)
+                continue
+            self.samples.append((osp.join(img_dir, fn), mask_path))
+        if skipped:
+            warnings.warn(
+                f"{len(skipped)} image(s) have no matching mask in {mask_dir} "
+                f"and will be skipped: {sorted(skipped)[:5]}..."
+            )
+        if not self.samples:
+            raise DatasetError(
+                f"No valid image-mask pairs found for mode='{mode}' in {rootpth}."
+            )
+
+        self.trans_train = self._build_train_transforms() if mode == "train" else None
+        self.mixup_p = float(self.aug["mixup"]) if mode == "train" else 0.0
+
+    # -------------------------------------------------------------------
+    def _build_train_transforms(self) -> T.Compose:
+        degrees = float(self.aug["degrees"])
+        scale = float(self.aug["scale"])
+        return T.Compose([
+            T.ResizeIfLarger(max_size=2 * max(self.cropsize)),
+            T.RandomHorizontalFlip(p=float(self.aug["fliplr"])),
+            T.RandomVerticalFlip(p=float(self.aug["flipud"])),
+            T.RandomTranslate(translate=float(self.aug["translate"]),
+                              ignore_label=self.ignore_lb),
+            T.RandomRotate(degrees=(-degrees, degrees),
+                           ignore_label=self.ignore_lb),
+            T.RandomScale((1.0 - scale, 1.0 + scale), continuous=True),
+            T.RandomCrop(size=self.cropsize, pad_if_needed=True,
+                         ignore_label=self.ignore_lb),
+            T.RandomHSV(hgain=float(self.aug["hsv_h"]),
+                        sgain=float(self.aug["hsv_s"]),
+                        vgain=float(self.aug["hsv_v"])),
+            T.RandomColorJitter(contrast=0.5),
+            T.RandomGamma(gamma_range=(0.8, 1.2), p=0.3),
+            T.RandomNoise(mode="gaussian", sigma=0.03, p=0.3),
+            T.RandomCutout(p=0.3, size=64),
+        ])
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the deterministic augmentation stream."""
+        self.epoch = int(epoch)
+
+    def _rng_for(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng([self.seed, self.epoch, idx])
+
+    def _normalize(self, img: Image.Image) -> Array:
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        mean = np.asarray(self.MEAN, dtype=np.float32)
+        std = np.asarray(self.STD, dtype=np.float32)
+        return (arr - mean) / std
+
+    def _decode_label(self, label: Image.Image) -> Array:
+        return np.asarray(label, dtype=np.int64)
+
+    def _load_one(self, idx: int, rng: np.random.Generator) -> Tuple[Array, Array]:
+        img_path, mask_path = self.samples[idx]
+        img = Image.open(img_path).convert("RGB")
+        label = Image.open(mask_path)
+        if label.mode != "L":
+            label = label.convert("L")
+        if self.trans_train is not None:
+            out = self.trans_train({"image": img, "label": label}, rng)
+            img, label = out["image"], out["label"]
+        return self._normalize(img), self._decode_label(label)
+
+    def __getitem__(self, idx: int) -> Tuple[Array, Array]:
+        rng = self._rng_for(idx)
+        img, label = self._load_one(idx, rng)
+        if self.mode == "train" and self.mixup_p > 0 and rng.random() < self.mixup_p:
+            other = int(rng.integers(0, len(self.samples)))
+            img2, label2 = self._load_one(other, rng)
+            r = float(rng.beta(32.0, 32.0))
+            img = img * r + img2 * (1.0 - r)
+            label = label if r >= 0.5 else label2
+        return img, label
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+
+class UAVid(FolderSegDataset):
+    """UAVid: 8 classes, mixed native resolutions (3840x2160 & 4096x2160) =>
+    val/test batch must be 1 (reference uavid.py:105-110)."""
+
+    NAME = "uavid"
+    NUM_CLASSES = 8
+    MEAN = (0.480, 0.499, 0.457)
+    STD = (0.225, 0.208, 0.228)
+    IMG_EXT = ".png"
+    UNIFORM_RESOLUTION = False
+
+
+class AeroScapes(FolderSegDataset):
+    """AeroScapes: 12 classes, uniform 1280x720, .jpg images, NO test split."""
+
+    NAME = "aeroscapes"
+    NUM_CLASSES = 12
+    MEAN = (0.439, 0.508, 0.460)
+    STD = (0.176, 0.157, 0.194)
+    IMG_EXT = ".jpg"
+    SPLITS = ("train", "val")
+    UNIFORM_RESOLUTION = True
+
+
+class VDD(FolderSegDataset):
+    """VDD: 7 classes, uniform 4000x3000, .jpg images, real train/val/test."""
+
+    NAME = "vdd"
+    NUM_CLASSES = 7
+    MEAN = (0.486, 0.487, 0.441)
+    STD = (0.190, 0.178, 0.214)
+    IMG_EXT = ".jpg"
+    UNIFORM_RESOLUTION = True
+
+
+class CityScapes(FolderSegDataset):
+    """Cityscapes: leftImg8bit/gtFine layout, raw-id -> trainId LUT remap,
+    ImageNet normalization, street-scene augmentation recipe."""
+
+    NAME = "cityscapes"
+    NUM_CLASSES = 19
+    MEAN = (0.485, 0.456, 0.406)
+    STD = (0.229, 0.224, 0.225)
+    UNIFORM_RESOLUTION = True  # all 2048x1024
+
+    def __init__(
+        self,
+        ignore_lb: int,
+        rootpth: str,
+        cropsize: Sequence[int],
+        mode: str = "train",
+        config_file: Optional[str] = None,
+        seed: int = 15,
+    ) -> None:
+        if mode not in ("train", "val", "test"):
+            raise ValueError(f"Mode '{mode}' not supported.")
+        if not osp.exists(rootpth):
+            raise FileNotFoundError(f"Dataset root does not exist: {rootpth}")
+
+        self.mode = mode
+        self.ignore_lb = ignore_lb
+        self.rootpth = rootpth
+        self.cropsize = tuple(int(c) for c in cropsize)
+        self.seed = seed
+        self.epoch = 0
+        self.aug = {}
+        self.mixup_p = 0.0
+
+        classes = (load_labels_info(config_file) if config_file
+                   else CITYSCAPES_CLASSES)
+        self._lut = id_to_trainid_lut(classes, ignore_lb)
+
+        impth = osp.join(rootpth, "leftImg8bit", mode)
+        gtpth = osp.join(rootpth, "gtFine", mode)
+        for d in (impth, gtpth):
+            if not osp.exists(d):
+                raise FileNotFoundError(f"Directory not found: {d}")
+
+        self.samples = []
+        for city in sorted(os.listdir(impth)):
+            im_folder = osp.join(impth, city)
+            gt_folder = osp.join(gtpth, city)
+            for im_name in sorted(os.listdir(im_folder)):
+                if not im_name.endswith("_leftImg8bit.png"):
+                    continue
+                base = im_name[: -len("_leftImg8bit.png")]
+                lb_path = osp.join(gt_folder, f"{base}_gtFine_labelIds.png")
+                if not osp.exists(lb_path):
+                    warnings.warn(f"Missing label for {base}, skipping.")
+                    continue
+                self.samples.append((osp.join(im_folder, im_name), lb_path))
+        if not self.samples:
+            raise DatasetError(f"No valid image-label pairs found in {mode} set.")
+
+        self.trans_train = self._build_train_transforms() if mode == "train" else None
+
+    def _build_train_transforms(self) -> T.Compose:
+        # Street-scene recipe (reference cityscapes.py:114-136).
+        return T.Compose([
+            T.RandomHorizontalFlip(p=0.5),
+            T.RandomScale((0.75, 1.0, 1.25, 1.5, 1.75, 2.0)),
+            T.RandomCrop(size=self.cropsize, pad_if_needed=True,
+                         ignore_label=self.ignore_lb),
+            T.RandomColorJitter(brightness=0.5, contrast=0.5, saturation=0.5),
+            T.RandomGrayscale(p=0.2),
+            T.RandomGamma(gamma_range=(0.8, 1.2), p=0.3),
+            T.RandomNoise(mode="gaussian", sigma=0.03, p=0.3),
+            T.RandomCutout(p=0.3, size=64),
+        ])
+
+    def _decode_label(self, label: Image.Image) -> Array:
+        raw = np.asarray(label, dtype=np.int64)
+        return self._lut[np.clip(raw, 0, 255)]
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference src/datasets/registry.py:13-50)
+# ---------------------------------------------------------------------------
+
+DATASET_REGISTRY: Dict[str, type] = {
+    "cityscapes": CityScapes,
+    "uavid": UAVid,
+    "aeroscapes": AeroScapes,
+    "vdd": VDD,
+}
+
+
+def _aerial_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
+    d = cfg.dataset
+    return {
+        "ignore_lb": d.ignore_idx,
+        "rootpth": d.dataset_path,
+        "cropsize": list(d.cropsize),
+        "mode": mode,
+        "augmentation": d.get("augmentation").to_dict()
+        if d.get("augmentation") is not None else None,
+        "seed": d.get("seed", 15),
+    }
+
+
+def _cityscapes_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
+    d = cfg.dataset
+    return {
+        "ignore_lb": d.ignore_idx,
+        "rootpth": d.dataset_path,
+        "cropsize": list(d.cropsize),
+        "mode": mode,
+        "config_file": d.get("config_file"),
+        "seed": d.get("seed", 15),
+    }
+
+
+DATASET_KWARGS_BUILDERS = {
+    "cityscapes": _cityscapes_kwargs,
+    "uavid": _aerial_kwargs,
+    "aeroscapes": _aerial_kwargs,
+    "vdd": _aerial_kwargs,
+}
