@@ -1,0 +1,203 @@
+"""Multi-scale sliding-window evaluator (TPU-native MscEvalV0).
+
+Protocol parity with the reference engine (src/scripts/evaluate.py:32-251):
+  - per scale: bilinear resize to (int(H*s), int(W*s)), sliding-window over
+    cropsize tiles with stride = int(cropsize * 5/6), edge tiles snapped back
+    so every tile is exactly cropsize (y_start = min(stride*iy, H-crop)),
+  - probability (post-softmax) and hit-count accumulation, overlap
+    normalization, centered zero-pad + unpad for images smaller than the crop,
+  - optional horizontal-flip TTA averaging softmax of the flipped input,
+  - sum of per-scale probability maps (resized back to native), argmax,
+    confusion-matrix accumulation with ignore handling.
+
+TPU-first design:
+  - the tile loop is a `lax.scan` over a PRECOMPUTED static tile grid with
+    dynamic_slice/dynamic_update_slice, so one program serves every tile and
+    XLA pipelines the model over the grid,
+  - the confusion matrix is computed on device (eval/metrics.py) — only a
+    (C,C) int32 crosses to the host per batch,
+  - programs are cached per (batch, H, W, scale) shape bucket; variable-
+    resolution datasets compile once per native resolution (SURVEY §7.3),
+  - flip TTA doubles the chip batch instead of running the model twice:
+    concat(chip, flip(chip)) along batch, one forward, average halves.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cabinet_tpu.core.constants import DEFAULT_IGNORE_LABEL, EVAL_STRIDE_RATE
+from cabinet_tpu.eval.metrics import confusion_matrix, metrics_from_hist
+
+ApplyFn = Callable[..., Any]  # (variables, images, train=False) -> (logits, aux)
+
+
+def _tile_starts(full: int, crop: int, stride: int) -> np.ndarray:
+    n = math.ceil(max(full - crop, 0) / stride) + 1
+    return np.array([min(stride * i, full - crop) for i in range(n)], np.int32)
+
+
+def tile_grid(full_h: int, full_w: int, crop: int,
+              stride_rate: float = EVAL_STRIDE_RATE) -> np.ndarray:
+    """(T, 2) array of (y, x) tile origins (reference crop_eval:124-138)."""
+    stride = int(crop * stride_rate)
+    ys = _tile_starts(full_h, crop, stride)
+    xs = _tile_starts(full_w, crop, stride)
+    return np.array([(y, x) for y in ys for x in xs], np.int32).reshape(-1, 2)
+
+
+def _chip_probs(apply_fn: ApplyFn, variables: Any, chip: jnp.ndarray,
+                flip: bool) -> jnp.ndarray:
+    """Softmax probabilities for one chip, optionally with flip TTA."""
+    if flip:
+        both = jnp.concatenate([chip, chip[:, :, ::-1, :]], axis=0)
+        logits = apply_fn(variables, both, train=False)[0]
+        logits = logits.astype(jnp.float32)
+        n = chip.shape[0]
+        prob = jax.nn.softmax(logits[:n], axis=-1)
+        prob_f = jax.nn.softmax(logits[n:][:, :, ::-1, :], axis=-1)
+        return (prob + prob_f) * 0.5
+    logits = apply_fn(variables, chip, train=False)[0].astype(jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
+                   variables: Any, image: jnp.ndarray) -> jnp.ndarray:
+    """Overlap-normalized probability map at the image's own resolution.
+
+    `image` is NHWC with H,W static for this trace.
+    """
+    B, H, W, _ = image.shape
+
+    # Centered zero-pad up to the crop size where needed (pad_tensor :60-72).
+    full_h, full_w = max(H, crop), max(W, crop)
+    hst, wst = (full_h - H) // 2, (full_w - W) // 2
+    if (full_h, full_w) != (H, W):
+        image = jnp.pad(image, ((0, 0), (hst, full_h - H - hst),
+                                (wst, full_w - W - wst), (0, 0)))
+
+    grid = tile_grid(full_h, full_w, crop)
+
+    prob0 = jnp.zeros((B, full_h, full_w, n_classes), jnp.float32)
+    count0 = jnp.zeros((full_h, full_w), jnp.float32)
+    ones = jnp.ones((crop, crop), jnp.float32)
+
+    def body(carry, yx):
+        prob, count = carry
+        y, x = yx[0], yx[1]
+        chip = jax.lax.dynamic_slice(
+            image, (0, y, x, 0), (B, crop, crop, image.shape[-1]))
+        cp = _chip_probs(apply_fn, variables, chip, flip)
+        cur = jax.lax.dynamic_slice(prob, (0, y, x, 0), (B, crop, crop, n_classes))
+        prob = jax.lax.dynamic_update_slice(prob, cur + cp, (0, y, x, 0))
+        ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
+        count = jax.lax.dynamic_update_slice(count, ccur + ones, (y, x))
+        return (prob, count), None
+
+    (prob, count), _ = jax.lax.scan(body, (prob0, count0), jnp.asarray(grid))
+    prob = prob / jnp.maximum(count, 1.0)[None, :, :, None]
+
+    if (full_h, full_w) != (H, W):
+        prob = jax.lax.dynamic_slice(prob, (0, hst, wst, 0), (B, H, W, n_classes))
+    return prob
+
+
+def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
+                 scale: float, variables: Any, image: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = image.shape
+    sh, sw = int(H * scale), int(W * scale)
+    scaled = jax.image.resize(image, (B, sh, sw, C), method="bilinear")
+    prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables, scaled)
+    return jax.image.resize(prob, (B, H, W, n_classes), method="bilinear")
+
+
+class MscEval:
+    """Multi-scale sliding-window evaluation engine.
+
+    Args mirror the reference constructor (evaluate.py:39-58); `apply_fn` is
+    the model's bound apply (variables, images, train) -> (logits, aux).
+    """
+
+    def __init__(
+        self,
+        apply_fn: ApplyFn,
+        n_classes: int,
+        ignore_label: int = DEFAULT_IGNORE_LABEL,
+        scales: Sequence[float] = (1.0,),
+        flip: bool = False,
+        cropsize: int = 1024,
+        compute_dtype: Any = jnp.float32,
+    ) -> None:
+        self.apply_fn = apply_fn
+        self.n_classes = n_classes
+        self.ignore_label = ignore_label
+        self.scales = tuple(scales)
+        self.flip = flip
+        self.cropsize = cropsize
+        self.compute_dtype = compute_dtype
+        self._progs: Dict[Tuple[int, int, int], Callable] = {}
+
+    def _program(self, B: int, H: int, W: int) -> Callable:
+        """Jitted (variables, images) -> (preds, per-batch hist)."""
+        key = (B, H, W)
+        if key in self._progs:
+            return self._progs[key]
+
+        scales, n_classes = self.scales, self.n_classes
+        crop, flip = self.cropsize, self.flip
+        apply_fn, ignore = self.apply_fn, self.ignore_label
+        dtype = self.compute_dtype
+
+        @jax.jit
+        def run(variables, images, labels):
+            images = images.astype(dtype)
+            probs = jnp.zeros((B, H, W, n_classes), jnp.float32)
+            for s in scales:
+                probs = probs + _scale_probs(apply_fn, n_classes, crop, flip,
+                                             s, variables, images)
+            preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            hist = confusion_matrix(preds, labels, n_classes, ignore)
+            return preds, hist
+
+        self._progs[key] = run
+        return run
+
+    def evaluate_batch(self, variables: Any, images: np.ndarray,
+                       labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        run = self._program(B, H, W)
+        preds, hist = run(variables, jnp.asarray(images), jnp.asarray(labels))
+        return np.asarray(preds), np.asarray(hist)
+
+    def evaluate(self, variables: Any,
+                 dataloader: Iterable[Tuple[np.ndarray, np.ndarray]],
+                 progress: bool = False) -> Dict[str, Any]:
+        hist = np.zeros((self.n_classes, self.n_classes), np.float64)
+        it = dataloader
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                it = tqdm(dataloader, desc="Evaluating", dynamic_ncols=True)
+            except ImportError:  # pragma: no cover
+                pass
+        for images, labels in it:
+            _, h = self.evaluate_batch(variables, images, labels)
+            hist += h
+        if jax.process_count() > 1:  # pragma: no cover - multi-host only
+            hist = np.asarray(
+                jax.experimental.multihost_utils.process_allgather(hist)
+            ).sum(axis=0)
+        return metrics_from_hist(hist)
+
+    __call__ = evaluate
+
+
+def compute_metrics(hist: np.ndarray) -> Dict[str, Any]:
+    return metrics_from_hist(hist)

@@ -1,0 +1,48 @@
+"""On-device segmentation metrics.
+
+The reference computes its confusion matrix per image on the HOST
+(argmax D2H copy + numpy bincount, evaluate.py:161-191,222-228) — the eval
+throughput limiter called out in SURVEY §3.2. Here the (C,C) histogram is
+accumulated ON DEVICE (a single bincount over pred*C+label with the ignore
+mask folded into an overflow bin) and only the tiny (C,C) matrix crosses to
+the host per batch. Under a sharded eval step, psum over the data axis
+replaces the reference's dist.reduce (evaluate.py:230-235).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(pred: jnp.ndarray, label: jnp.ndarray, n_classes: int,
+                     ignore_label: int = 255) -> jnp.ndarray:
+    """(C, C) histogram, rows = pred, cols = label (reference compute_hist
+    indexing: intersection = pred * C + label, evaluate.py:184-190)."""
+    valid = label != ignore_label
+    p = jnp.clip(pred, 0, n_classes - 1).astype(jnp.int32)
+    l = jnp.clip(label, 0, n_classes - 1).astype(jnp.int32)
+    idx = jnp.where(valid.reshape(-1), (p * n_classes + l).reshape(-1),
+                    n_classes * n_classes)
+    counts = jnp.bincount(idx, length=n_classes * n_classes + 1)
+    return counts[:-1].reshape(n_classes, n_classes)
+
+
+def metrics_from_hist(hist: np.ndarray) -> Dict[str, object]:
+    """mIoU / accuracy / per-class IoU from an accumulated confusion matrix
+    (reference evaluate.py:238-251)."""
+    hist = np.asarray(hist, dtype=np.float64)
+    diag = np.diag(hist)
+    ious = diag / (hist.sum(axis=0) + hist.sum(axis=1) - diag + 1e-8)
+    with np.errstate(invalid="ignore"):
+        miou = float(np.nanmean(ious))
+    total = hist.sum()
+    acc = float(diag.sum() / total) if total > 0 else 0.0
+    return {
+        "mIoU": miou,
+        "accuracy": acc,
+        "iou_per_class": {f"class_{i}": float(v) for i, v in enumerate(ious)},
+        "confusion_matrix": hist,
+    }

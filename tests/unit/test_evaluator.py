@@ -1,0 +1,130 @@
+"""Sliding-window evaluator invariants (reference
+test_training_pipeline.py:256-338 "ConstantModel" pattern + histogram oracle)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cabinet_tpu.eval.evaluator import MscEval, tile_grid
+from cabinet_tpu.eval.metrics import confusion_matrix, metrics_from_hist
+
+N_CLASSES = 4
+
+
+def constant_apply(variables, images, train=False):
+    """Fake backend: fixed logits favouring class 2 everywhere."""
+    B, H, W, _ = images.shape
+    logits = jnp.zeros((B, H, W, N_CLASSES))
+    logits = logits.at[..., 2].set(5.0)
+    return logits, logits
+
+
+def checkerboard_apply(variables, images, train=False):
+    """Predicts class = parity of (mean intensity > 0)."""
+    B, H, W, _ = images.shape
+    m = (images.mean(axis=-1) > 0).astype(jnp.float32)
+    logits = jnp.stack([1 - m, m] + [jnp.zeros_like(m)] * (N_CLASSES - 2), axis=-1)
+    return logits * 5.0, logits
+
+
+def test_tile_grid_matches_reference_formula():
+    crop, H, W = 64, 200, 150
+    stride = int(crop * 5 / 6.0)
+    n_y = math.ceil((H - crop) / stride) + 1
+    n_x = math.ceil((W - crop) / stride) + 1
+    grid = tile_grid(H, W, crop)
+    assert grid.shape == (n_y * n_x, 2)
+    # edge tiles snapped so every tile is exactly crop-sized
+    ys = sorted(set(grid[:, 0].tolist()))
+    assert ys[0] == 0 and ys[-1] == H - crop
+    want = []
+    for iy in range(n_y):
+        y_end = min(H, stride * iy + crop)
+        want.append(y_end - crop)
+    assert ys == sorted(set(want))
+
+
+def test_constant_model_uniform_prediction_no_edge_bias():
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=32)
+    images = np.random.default_rng(0).normal(size=(1, 80, 56, 3)).astype(np.float32)
+    labels = np.full((1, 80, 56), 2, np.int64)
+    preds, hist = ev.evaluate_batch({}, images, labels)
+    assert (preds == 2).all()  # overlap normalization leaves argmax intact
+    assert hist[2, 2] == 80 * 56
+
+
+def test_image_smaller_than_crop_padded_and_unpadded():
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=64)
+    images = np.zeros((2, 20, 30, 3), np.float32)
+    labels = np.full((2, 20, 30), 2, np.int64)
+    preds, hist = ev.evaluate_batch({}, images, labels)
+    assert preds.shape == (2, 20, 30)
+    assert (preds == 2).all()
+    assert hist.sum() == 2 * 20 * 30
+
+
+def test_multi_scale_and_flip_consistent():
+    ev = MscEval(constant_apply, N_CLASSES, scales=(0.5, 1.0, 1.5), flip=True,
+                 cropsize=32)
+    images = np.zeros((1, 48, 48, 3), np.float32)
+    labels = np.full((1, 48, 48), 2, np.int64)
+    preds, _ = ev.evaluate_batch({}, images, labels)
+    assert (preds == 2).all()
+
+
+def test_content_dependent_model_preserved_through_tiling():
+    # Model output depends on input content; tiling+normalization must not
+    # corrupt interior predictions.
+    ev = MscEval(checkerboard_apply, N_CLASSES, scales=(1.0,), cropsize=32)
+    rng = np.random.default_rng(1)
+    images = np.where(rng.random((1, 64, 40, 3)) > 0.5, 1.0, -1.0).astype(np.float32)
+    labels = np.zeros((1, 64, 40), np.int64)
+    preds, _ = ev.evaluate_batch({}, images, labels)
+    want = (images.mean(axis=-1) > 0).astype(np.int32)
+    np.testing.assert_array_equal(preds, want)
+
+
+def test_confusion_matrix_matches_numpy_oracle():
+    rng = np.random.default_rng(2)
+    pred = rng.integers(0, N_CLASSES, (33, 17))
+    label = rng.integers(0, N_CLASSES, (33, 17))
+    label[0, :5] = 255
+    pred[1, :3] = 99  # out of range -> clipped
+
+    got = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(label),
+                                      N_CLASSES, 255))
+
+    valid = label != 255
+    p = np.clip(pred[valid], 0, N_CLASSES - 1)
+    l = np.clip(label[valid], 0, N_CLASSES - 1)
+    want = np.bincount(p * N_CLASSES + l,
+                       minlength=N_CLASSES ** 2).reshape(N_CLASSES, N_CLASSES)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_metrics_from_hist():
+    hist = np.array([[10, 2], [3, 20]], np.float64)
+    m = metrics_from_hist(hist)
+    iou0 = 10 / (13 + 12 - 10)
+    iou1 = 20 / (22 + 23 - 20)
+    np.testing.assert_allclose(m["mIoU"], (iou0 + iou1) / 2, rtol=1e-6)
+    np.testing.assert_allclose(m["accuracy"], 30 / 35, rtol=1e-6)
+    assert set(m["iou_per_class"]) == {"class_0", "class_1"}
+
+
+def test_full_evaluate_over_loader():
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=32)
+
+    def loader():
+        for _ in range(3):
+            yield (np.zeros((1, 40, 40, 3), np.float32),
+                   np.full((1, 40, 40), 2, np.int64))
+
+    res = ev.evaluate({}, loader())
+    # absent classes get IoU 0/(0+1e-8)=0 (not NaN) per the reference formula,
+    # so mIoU over 4 classes with one perfect class is 0.25.
+    assert res["mIoU"] == pytest.approx(0.25)
+    assert res["accuracy"] == pytest.approx(1.0)
+    assert res["iou_per_class"]["class_2"] == pytest.approx(1.0)
