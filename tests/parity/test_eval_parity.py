@@ -1,0 +1,125 @@
+"""End-to-end eval-protocol parity: our MscEval vs the reference MscEvalV0
+running the SAME converted network on the SAME input (multi-scale + flip +
+sliding window + histogram). This is the guard for the "mIoU within 0.2 pts"
+north star — any tiling/resize/softmax discrepancy shows up here."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _ref_available():
+    import pathlib
+
+    return pathlib.Path(REF, "src", "scripts", "evaluate.py").is_file()
+
+
+pytestmark = pytest.mark.skipif(not _ref_available(),
+                                reason="reference repo not available")
+
+# Full small table — the attention branch requires the canonical 576-channel
+# backbone output, so the cfg table cannot be truncated.
+SMALL_CFGS = [
+    [3, 1, 16, 1, 0, 2],
+    [3, 4.5, 24, 0, 0, 2],
+    [3, 3.67, 24, 0, 0, 1],
+    [5, 4, 40, 1, 1, 2],
+    [5, 6, 40, 1, 1, 1],
+    [5, 6, 40, 1, 1, 1],
+    [5, 3, 48, 1, 1, 1],
+    [5, 3, 48, 1, 1, 1],
+    [5, 6, 96, 1, 1, 2],
+    [5, 6, 96, 1, 1, 1],
+    [5, 6, 96, 1, 1, 1],
+]
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    # The reference script imports hydra/omegaconf at module scope; neither is
+    # installed here (we only need the MscEvalV0 class), so stub them.
+    import types
+
+    hydra_stub = types.ModuleType("hydra")
+    hydra_stub.main = lambda **kw: (lambda f: f)
+    oc_stub = types.ModuleType("omegaconf")
+    oc_stub.DictConfig = dict
+    oc_stub.OmegaConf = types.SimpleNamespace(to_yaml=lambda c: str(c))
+    sys.modules.setdefault("hydra", hydra_stub)
+    sys.modules.setdefault("omegaconf", oc_stub)
+
+    # torchvision is only used inside dataset __init__ (never constructed
+    # in this test) — stub the import surface.
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Compose = lambda ts: ts
+    tvt.ToTensor = type("ToTensor", (), {})
+    tvt.Normalize = type("Normalize", (), {"__init__": lambda s, **k: None})
+    tv.transforms = tvt
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tvt)
+
+    sys.path.insert(0, REF)
+    try:
+        from src.models.cabinet import CABiNet as TorchCABiNet
+        from src.scripts.evaluate import MscEvalV0
+    finally:
+        sys.path.remove(REF)
+    return TorchCABiNet, MscEvalV0
+
+
+def test_msc_eval_parity(ref_eval):
+    TorchCABiNet, MscEvalV0 = ref_eval
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.utils.torch_convert import torch_to_flax
+
+    torch.manual_seed(0)
+    tmodel = TorchCABiNet(n_classes=5, mode="small", cfgs=SMALL_CFGS)
+    sd = tmodel.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            sd[k] = torch.randn_like(v) * 0.05
+        if "running_var" in k:
+            sd[k] = torch.rand_like(v) + 0.5
+    tmodel.load_state_dict(sd)
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(1, 100, 88, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, (1, 100, 88)).astype(np.int64)
+    labels[0, :10] = 255
+
+    # ---- reference pipeline -------------------------------------------
+    class OneBatch:
+        def __iter__(self):
+            yield (torch.from_numpy(images.transpose(0, 3, 1, 2)),
+                   torch.from_numpy(labels))
+
+    ref = MscEvalV0(tmodel, OneBatch(), n_classes=5, ignore_label=255,
+                    scales=(0.5, 1.0), flip=True, cropsize=64,
+                    device=torch.device("cpu"))
+    ref_out = ref.evaluate()
+
+    # ---- ours -----------------------------------------------------------
+    variables = torch_to_flax(tmodel.state_dict(), SMALL_CFGS)
+    fmodel = CABiNet(n_classes=5, mode="small", cfgs=SMALL_CFGS)
+
+    def apply_fn(v, x, train=False):
+        return fmodel.apply(v, x, train=train)
+
+    ev = MscEval(apply_fn, n_classes=5, ignore_label=255, scales=(0.5, 1.0),
+                 flip=True, cropsize=64)
+    res = ev.evaluate(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        [(images, labels)])
+
+    np.testing.assert_allclose(res["confusion_matrix"],
+                               ref_out["confusion_matrix"], atol=40)
+    assert abs(res["mIoU"] - ref_out["mIoU"]) < 5e-3
+    assert abs(res["accuracy"] - ref_out["accuracy"]) < 5e-3
