@@ -1,0 +1,132 @@
+"""Orbax checkpointing of the full training state.
+
+Parity with the reference's richest subsystem (SURVEY §5.4, train.py:54-123):
+the checkpoint carries epoch, model params+batch stats, optimizer state and
+step counter, EMA shadow + update count, best mIoU/loss, and the early-stop
+state, so `resume=true` restarts bit-exact. Three artifact kinds are kept:
+
+  - ``checkpoint_last`` — full state, written every epoch,
+  - ``<name>_best`` — EMA variables only, written on mIoU improvement,
+  - final ``<model_save_name>`` — EMA variables only.
+
+EMA-variable checkpoints can also be exported as torch state dicts
+(utils/torch_convert.flax_to_torch) for reference-tool compatibility.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cabinet_tpu.core.exceptions import ModelLoadError
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax PyTree checkpointing with metadata sidecar."""
+
+    def __init__(self, directory: Union[str, Path]):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ---------------------------------------------------------------- full
+    def save_full(self, name: str, state: Any, epoch: int,
+                  best_miou: float, best_loss: float,
+                  stopper_state: Dict[str, Any]) -> Path:
+        path = self.directory / name
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "micro_step": state.micro_step,
+            "accum_grads": state.accum_grads,
+            "ema_variables": state.ema.variables,
+            "ema_updates": state.ema.updates,
+        }
+        self._ckptr.save(path, _to_host(tree), force=True)
+        self._ckptr.wait_until_finished()  # StandardCheckpointer is async
+        meta = {
+            "epoch": int(epoch),
+            "best_miou": float(best_miou),
+            "best_loss": float(best_loss),
+            "early_stop_best_fitness": float(stopper_state["best_fitness"]),
+            "early_stop_best_epoch": int(stopper_state["best_epoch"]),
+        }
+        (self.directory / f"{name}.meta.json").write_text(json.dumps(meta))
+        return path
+
+    def restore_full(self, name: str, state_template: Any
+                     ) -> Optional[Dict[str, Any]]:
+        """Restore into the template TrainState; returns None if absent."""
+        path = self.directory / name
+        meta_path = self.directory / f"{name}.meta.json"
+        if not path.exists():
+            return None
+        template = {
+            "params": state_template.params,
+            "batch_stats": state_template.batch_stats,
+            "opt_state": state_template.opt_state,
+            "step": state_template.step,
+            "micro_step": state_template.micro_step,
+            "accum_grads": state_template.accum_grads,
+            "ema_variables": state_template.ema.variables,
+            "ema_updates": state_template.ema.updates,
+        }
+        tree = self._ckptr.restore(path, template)
+        meta = (json.loads(meta_path.read_text()) if meta_path.exists()
+                else {"epoch": 0, "best_miou": 0.0, "best_loss": float("inf"),
+                      "early_stop_best_fitness": 0.0, "early_stop_best_epoch": 0})
+        state = state_template.replace(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=tree["step"],
+            micro_step=tree["micro_step"],
+            accum_grads=tree["accum_grads"],
+            ema=state_template.ema.replace(variables=tree["ema_variables"],
+                                           updates=tree["ema_updates"]),
+        )
+        return {"state": state, **meta}
+
+    # ------------------------------------------------------------ variables
+    def save_variables(self, name: str, variables: Any) -> Path:
+        path = self.directory / name
+        self._ckptr.save(path, _to_host(variables), force=True)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore_variables(self, name: str, template: Any) -> Any:
+        path = self.directory / name
+        if not path.exists():
+            raise ModelLoadError(f"Checkpoint not found: {path}")
+        return self._ckptr.restore(path, template)
+
+
+def load_any_checkpoint(path: Union[str, Path], template: Any) -> Any:
+    """Load variables from either an orbax dir or a torch .pth
+    (consumers accept both kinds, reference evaluate.py:259-267)."""
+    path = Path(path)
+    if path.is_dir():
+        return ocp.StandardCheckpointer().restore(path.resolve(), template)
+    if path.suffix in (".pth", ".pt"):
+        from cabinet_tpu.models.mobilenetv3 import default_cfgs
+        from cabinet_tpu.utils.torch_convert import load_torch_checkpoint, torch_to_flax
+
+        sd = load_torch_checkpoint(path)
+        n_feat = max(
+            v.shape[0] for k, v in sd.items()
+            if k.startswith("mobile.conv.0") and hasattr(v, "shape")
+        ) if any(k.startswith("mobile.conv.0") for k in sd) else None
+        mode = "large" if n_feat == 960 else "small"
+        return torch_to_flax(sd, default_cfgs(mode), strict=False)
+    raise ModelLoadError(f"Unrecognized checkpoint: {path}")

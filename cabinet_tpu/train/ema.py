@@ -26,7 +26,9 @@ class EmaState:
 
 
 def ema_init(variables: Any, decay: float = 0.9999, tau: float = 2000.0) -> EmaState:
-    shadow = jax.tree_util.tree_map(jnp.asarray, variables)
+    # Deep-copy (reference ema.py:44 deepcopy) — the shadow must not alias the
+    # live buffers, both for correctness and for XLA buffer donation.
+    shadow = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
     return EmaState(variables=shadow, updates=jnp.zeros((), jnp.int32),
                     decay=decay, tau=tau)
 
