@@ -1,0 +1,103 @@
+"""Shared CLI plumbing: config composition, model/dataset construction,
+checkpoint loading, seeding."""
+
+from __future__ import annotations
+
+import argparse
+import random
+from pathlib import Path
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cabinet_tpu.core.config import Config, compose
+from cabinet_tpu.core.exceptions import ConfigurationError
+
+REPO_ROOT = Path(__file__).resolve().parents[2]
+CONFIG_DIR = REPO_ROOT / "configs"
+
+
+def parse_cli(argv: Optional[Sequence[str]], default_config: str,
+              description: str) -> Tuple[Config, argparse.Namespace]:
+    """Hydra-style CLI: positional key=value overrides + --config-name."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--config-name", default=default_config)
+    p.add_argument("--config-dir", default=str(CONFIG_DIR))
+    p.add_argument("overrides", nargs="*", help="key=value overrides")
+    args = p.parse_args(argv)
+    cfg = compose(args.config_dir, args.config_name, args.overrides)
+    return cfg, args
+
+
+def seed_everything(seed: int) -> None:
+    """Host-side RNG seeding (reference train.py:36-43). JAX PRNG keys are
+    passed explicitly wherever randomness is used on device."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def compute_dtype_of(cfg: Config):
+    import jax.numpy as jnp
+
+    name = str(cfg.select("runtime.compute_dtype", "float32"))
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+def build_model(cfg: Config, n_classes: int):
+    from cabinet_tpu.models import CABiNet
+
+    cfgs = [list(row) for row in cfg.model.cfgs]
+    return CABiNet(
+        n_classes=n_classes,
+        mode=cfg.model.mode,
+        cfgs=cfgs,
+        use_pallas=bool(cfg.select("runtime.use_pallas", False)),
+        dtype=compute_dtype_of(cfg),
+    )
+
+
+def build_datasets(cfg: Config, modes: Sequence[str]) -> List[Any]:
+    from cabinet_tpu.data.datasets import DATASET_KWARGS_BUILDERS, DATASET_REGISTRY
+
+    name = cfg.dataset.name
+    if name not in DATASET_REGISTRY:
+        raise ConfigurationError(
+            f"Unknown dataset '{name}'. Available: {sorted(DATASET_REGISTRY)}")
+    cls = DATASET_REGISTRY[name]
+    builder = DATASET_KWARGS_BUILDERS[name]
+    if not cfg.dataset.dataset_path:
+        raise ConfigurationError(
+            f"dataset_path is empty — set the dataset root env var for "
+            f"'{name}' (see configs/dataset/{name}.yaml)")
+    return [cls(**builder(cfg, mode)) for mode in modes]
+
+
+def guard_val_batch(cfg: Config, dataset: Any, batch_size: int) -> None:
+    """Variable-resolution datasets can't stack val batches > 1
+    (reference train.py:233-241)."""
+    if not getattr(dataset, "UNIFORM_RESOLUTION", True) and batch_size != 1:
+        raise ConfigurationError(
+            f"{dataset.NAME} has mixed native resolutions; "
+            f"validation batch_size must be 1 (got {batch_size}).")
+
+
+def load_model_variables(checkpoint_path: str, template: Any) -> Any:
+    """Load model variables from orbax dir or torch .pth."""
+    from cabinet_tpu.train.checkpoint import load_any_checkpoint
+
+    loaded = load_any_checkpoint(checkpoint_path, template)
+    if "params" not in loaded:
+        raise ConfigurationError(f"No params in checkpoint: {checkpoint_path}")
+    return loaded
+
+
+def warm_start(variables: Any, checkpoint_path: str, cfgs) -> Any:
+    """Cross-dataset warm start: overlay name+shape-matched tensors only
+    (reference train.py:126-176 — classifier heads auto-skip on shape
+    mismatch)."""
+    from cabinet_tpu.train.checkpoint import load_any_checkpoint
+    from cabinet_tpu.utils.torch_convert import merge_variables
+
+    loaded = load_any_checkpoint(checkpoint_path, variables)
+    return merge_variables(variables, loaded, match_shapes=True)

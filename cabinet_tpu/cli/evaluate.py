@@ -1,0 +1,72 @@
+"""Standalone checkpoint evaluation (reference src/scripts/evaluate.py:270-368).
+
+Usage:
+    python -m cabinet_tpu.cli.evaluate checkpoint_path=... dataset=uavid \
+        validation_config.batch_size=1
+    python -m cabinet_tpu.cli.evaluate checkpoint_path=... split=test \
+        validation_config.eval_scales=[1.0] validation_config.flip=false
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+import numpy as np
+
+from cabinet_tpu.cli import common
+from cabinet_tpu.core.exceptions import ConfigurationError
+from cabinet_tpu.core.logging import RichConsoleManager
+
+
+def evaluate_checkpoint(cfg) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.data.loader import DataLoader
+    from cabinet_tpu.eval.evaluator import MscEval
+
+    split = cfg.get("split", "val")
+    if split == "train":
+        # Train mode applies augmentation — metrics would be corrupted
+        # (reference evaluate.py:280-286).
+        raise ConfigurationError(
+            "split=train is not supported for evaluation; use val or test.")
+
+    vc = cfg.validation_config
+    (dataset,) = common.build_datasets(cfg, [split])
+    common.guard_val_batch(cfg, dataset, vc.batch_size)
+    dl = DataLoader(dataset, vc.batch_size, num_workers=vc.num_workers)
+
+    n_classes = cfg.dataset.num_classes
+    model = common.build_model(cfg, n_classes)
+    crop = max(cfg.dataset.cropsize)
+    init_x = jnp.zeros((1, crop, crop, 3), common.compute_dtype_of(cfg))
+    template = jax.jit(lambda: model.init(jax.random.PRNGKey(0), init_x,
+                                          train=False))()
+    variables = common.load_model_variables(cfg.checkpoint_path, template)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    evaluator = MscEval(model.apply, n_classes,
+                        ignore_label=cfg.dataset.ignore_idx,
+                        scales=tuple(vc.eval_scales), flip=bool(vc.flip),
+                        cropsize=crop,
+                        compute_dtype=common.compute_dtype_of(cfg))
+    return evaluator.evaluate(variables, dl, progress=True)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    cfg, _ = common.parse_cli(argv, "evaluate", "Evaluate a CABiNet checkpoint")
+    console = RichConsoleManager.get_console()
+    res = evaluate_checkpoint(cfg)
+    console.print(f"[metric]mIoU: {res['mIoU']:.4f}  "
+                  f"accuracy: {res['accuracy']:.4f}[/metric]")
+    for k, v in res["iou_per_class"].items():
+        console.print(f"  {k}: {v:.4f}")
+    print(json.dumps({"mIoU": res["mIoU"], "accuracy": res["accuracy"],
+                      "iou_per_class": res["iou_per_class"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""CABiNet training entry point (reference src/scripts/train.py:203-607).
+
+Usage:
+    python -m cabinet_tpu.cli.train dataset=uavid validation_config.batch_size=1
+    python -m cabinet_tpu.cli.train --config-name train model=mobilenetv3_small
+
+Full loop: data -> sharded jitted train step (OHEM x2, accumulation, EMA) ->
+per-epoch val loss + EMA mIoU -> best/last checkpoints -> early stop ->
+final multi-scale eval. KeyboardInterrupt saves before exiting
+(reference train.py:569-580).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from cabinet_tpu.cli import common
+from cabinet_tpu.core.config import save_config
+from cabinet_tpu.core.logging import RichConsoleManager, setup_logger
+
+
+def train_and_evaluate(cfg) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.core.constants import OHEM_DIVISOR
+    from cabinet_tpu.core.mesh import batch_sharding, make_mesh, replicate
+    from cabinet_tpu.data.class_weights import compute_class_weights, get_class_pixel_counts
+    from cabinet_tpu.data.loader import DataLoader
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.train.checkpoint import CheckpointManager
+    from cabinet_tpu.train.early_stopping import EarlyStopping
+    from cabinet_tpu.train.optimizer import build_optimizer
+    from cabinet_tpu.train.trainer import (
+        create_train_state,
+        make_eval_loss_step,
+        make_flush_step,
+        make_train_step,
+    )
+
+    logger = setup_logger("cabinet_tpu.train",
+                          cfg.training_config.experiments_path)
+    tc, vc = cfg.training_config, cfg.validation_config
+
+    common.seed_everything(cfg.runtime.seed)
+
+    # ---- datasets ------------------------------------------------------
+    ds_train, ds_val = common.build_datasets(cfg, ["train", "val"])
+    common.guard_val_batch(cfg, ds_val, vc.batch_size)
+
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+    dl_train = DataLoader(ds_train, tc.batch_size, shuffle=True, drop_last=True,
+                          num_workers=tc.num_workers, seed=cfg.runtime.seed,
+                          shard=shard)
+    dl_val = DataLoader(ds_val, vc.batch_size, num_workers=vc.num_workers)
+
+    # ---- model ----------------------------------------------------------
+    n_classes = cfg.dataset.num_classes
+    model = common.build_model(cfg, n_classes)
+    crop_h, crop_w = cfg.dataset.cropsize
+    init_x = jnp.zeros((1, crop_h, crop_w, 3), common.compute_dtype_of(cfg))
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(cfg.runtime.seed),
+                                           init_x, train=False))()
+
+    # Pretrained backbone (ImageNet .pth) if present.
+    bb_name = cfg.model.get("pretrained_weights")
+    if bb_name:
+        bb_path = Path(common.REPO_ROOT, "pretrained_backbones", bb_name)
+        if bb_path.is_file():
+            from cabinet_tpu.utils.torch_convert import (
+                backbone_torch_to_flax,
+                load_torch_checkpoint,
+            )
+
+            bb = backbone_torch_to_flax(load_torch_checkpoint(bb_path),
+                                        [list(r) for r in cfg.model.cfgs])
+            variables = {
+                "params": {**variables["params"], "mobile": bb["params"]},
+                "batch_stats": {**variables["batch_stats"],
+                                "mobile": bb["batch_stats"]},
+            }
+            logger.info(f"Loaded pretrained backbone from {bb_path}")
+        else:
+            logger.info(f"No pretrained backbone at {bb_path}; random init.")
+
+    # Cross-dataset warm start (name+shape-matched subset).
+    if tc.get("pretrained_ckpt_path"):
+        variables = common.warm_start(variables, tc.pretrained_ckpt_path,
+                                      cfg.model.cfgs)
+        logger.info(f"Warm-started from {tc.pretrained_ckpt_path}")
+
+    # ---- class weights ---------------------------------------------------
+    class_weights = None
+    if float(tc.get("cls_pw", 0)) > 0:
+        counts = get_class_pixel_counts(ds_train, n_classes,
+                                        cfg.dataset.ignore_idx)
+        class_weights = compute_class_weights(counts, float(tc.cls_pw))
+        logger.info(f"Class weights: {np.round(class_weights, 3).tolist()}")
+
+    # ---- optimizer / state ----------------------------------------------
+    batches_per_epoch = len(dl_train)
+    accum = int(tc.accum_steps)
+    max_iter = tc.get("max_iterations") or math.ceil(
+        tc.epochs * batches_per_epoch / accum)
+    tx = build_optimizer(
+        variables["params"],
+        lr0=float(tc.optimizer_lr_start),
+        max_iter=int(max_iter),
+        momentum=float(tc.optimizer_momentum),
+        wd=float(tc.optimizer_weight_decay),
+        power=float(tc.optimizer_power),
+        warmup_steps=int(tc.warmup_steps),
+        warmup_start_lr=float(tc.warmup_start_lr),
+        max_grad_norm=float(tc.max_grad_norm) if tc.get("max_grad_norm") else None,
+    )
+    state = create_train_state(variables, tx, ema_decay=float(tc.ema_decay),
+                               ema_tau=float(tc.ema_tau))
+
+    n_min = tc.batch_size * crop_h * crop_w // OHEM_DIVISOR
+    train_step = make_train_step(
+        model.apply, tx, n_min=n_min, thresh=0.7,
+        ignore_label=cfg.dataset.ignore_idx, class_weights=class_weights,
+        accum_steps=accum, compute_dtype=common.compute_dtype_of(cfg))
+    flush_step = make_flush_step(tx)
+    eval_loss_step = make_eval_loss_step(
+        model.apply, n_min=vc.batch_size * crop_h * crop_w // OHEM_DIVISOR,
+        thresh=0.7, ignore_label=cfg.dataset.ignore_idx,
+        class_weights=class_weights,
+        compute_dtype=common.compute_dtype_of(cfg))
+
+    stopper = EarlyStopping(int(tc.patience))
+    ckpt = CheckpointManager(Path(tc.experiments_path))
+    start_epoch, best_miou, best_loss = 0, 0.0, float("inf")
+
+    if tc.resume:
+        restored = ckpt.restore_full("checkpoint_last", state)
+        if restored:
+            state = restored["state"]
+            start_epoch = restored["epoch"] + 1
+            best_miou = restored["best_miou"]
+            best_loss = restored["best_loss"]
+            stopper.load_state_dict({
+                "best_fitness": restored["early_stop_best_fitness"],
+                "best_epoch": restored["early_stop_best_epoch"]})
+            logger.info(f"Resumed from epoch {restored['epoch']} "
+                        f"(step {int(state.step)})")
+
+    # ---- mesh ------------------------------------------------------------
+    n_data = int(cfg.select("runtime.mesh_data", 0)) or len(jax.devices())
+    mesh = make_mesh(n_data=n_data)
+    state = replicate(state, mesh)
+    logger.info(f"Mesh: {dict(mesh.shape)}; max_iter={max_iter}; "
+                f"n_min={n_min}; accum={accum}")
+
+    evaluator = MscEval(model.apply, n_classes,
+                        ignore_label=cfg.dataset.ignore_idx,
+                        scales=(1.0,), flip=False, cropsize=max(crop_h, crop_w),
+                        compute_dtype=common.compute_dtype_of(cfg))
+
+    def put(batch):
+        imgs, lbs = batch
+        return (jax.device_put(imgs, batch_sharding(mesh, 4)),
+                jax.device_put(lbs, batch_sharding(mesh, 3)))
+
+    results = {"best_miou": best_miou}
+    try:
+        for epoch in range(start_epoch, int(tc.epochs)):
+            t0 = time.time()
+            dl_train.set_epoch(epoch)
+            losses = []
+            for i, batch in enumerate(dl_train):
+                imgs, lbs = put(batch)
+                state, loss = train_step(state, imgs, lbs)
+                if (i + 1) % int(tc.log_iter) == 0:
+                    losses.append(float(loss))
+                    logger.info(f"epoch {epoch} it {i + 1}/{batches_per_epoch} "
+                                f"loss {losses[-1]:.4f}")
+            state = flush_step(state)  # trailing partial accumulation window
+
+            # Validation loss on raw weights.
+            val_losses = [float(eval_loss_step(state.variables,
+                                               jnp.asarray(im), jnp.asarray(lb)))
+                          for im, lb in dl_val]
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            best_loss = min(best_loss, val_loss)
+
+            # Per-epoch mIoU on EMA weights (1 scale, no flip).
+            fitness = None
+            if (epoch + 1) % int(vc.eval_every_n_epochs) == 0:
+                res = evaluator.evaluate(state.ema_variables, dl_val)
+                fitness = res["mIoU"]
+                logger.info(f"epoch {epoch}: val_loss {val_loss:.4f} "
+                            f"mIoU {fitness:.4f} ({time.time() - t0:.1f}s)")
+                if fitness > best_miou:
+                    best_miou = fitness
+                    ckpt.save_variables(f"{tc.model_save_name}_best",
+                                        state.ema_variables)
+
+            should_stop = stopper(epoch, fitness)
+            ckpt.save_full("checkpoint_last", state, epoch, best_miou,
+                           best_loss, stopper.state_dict())
+            if should_stop:
+                logger.info(f"Early stopping at epoch {epoch} "
+                            f"(best {stopper.best_fitness:.4f} "
+                            f"@ {stopper.best_epoch})")
+                break
+    except KeyboardInterrupt:  # graceful final save (reference :569-580)
+        logger.info("Interrupted — saving final state.")
+
+    ckpt.save_variables(tc.model_save_name, state.ema_variables)
+    save_config(cfg, Path(tc.experiments_path) / "config.yaml")
+
+    # Final multi-scale eval on EMA weights.
+    final_eval = MscEval(model.apply, n_classes,
+                         ignore_label=cfg.dataset.ignore_idx,
+                         scales=tuple(vc.eval_scales), flip=bool(vc.flip),
+                         cropsize=max(crop_h, crop_w),
+                         compute_dtype=common.compute_dtype_of(cfg))
+    res = final_eval.evaluate(state.ema_variables, dl_val, progress=True)
+    logger.info(f"Final multi-scale mIoU: {res['mIoU']:.4f} "
+                f"acc {res['accuracy']:.4f}")
+    results.update(best_miou=best_miou, final=res)
+    return results
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    cfg, _ = common.parse_cli(argv, "train", "Train CABiNet on TPU")
+    console = RichConsoleManager.get_console()
+    console.print("[info]Composed config:[/info]")
+    from cabinet_tpu.core.config import to_yaml
+
+    console.print(to_yaml(cfg))
+    train_and_evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,25 @@ MISSING = "???"
 _INTERP_RE = re.compile(r"\$\{([^${}]+)\}")
 
 
+class _Loader(yaml.SafeLoader):
+    """SafeLoader + YAML-1.2-style float resolution (so `5e-3` is a float,
+    matching OmegaConf, not the YAML-1.1 string it would otherwise be)."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 class Config:
     """Attribute/keyed access over a nested dict, with interpolation on read."""
 
@@ -151,15 +170,25 @@ def _resolve_tree(node: Any, root: Config, path: str) -> Any:
     return node
 
 
+_INDEX_RE = re.compile(r"^([^\[\]]+)((?:\[\d+\])*)$")
+
+
 def _lookup(root: Config, dotted: str) -> Any:
     node: Any = root
     for part in dotted.split("."):
-        if isinstance(node, Config):
-            if part not in node:
-                raise ConfigurationError(f"Interpolation key not found: '{dotted}'")
-            node = node[part]
-        else:
+        m = _INDEX_RE.match(part)
+        if not m:
             raise ConfigurationError(f"Interpolation key not found: '{dotted}'")
+        key, idx_part = m.group(1), m.group(2)
+        if not isinstance(node, Config) or key not in node:
+            raise ConfigurationError(f"Interpolation key not found: '{dotted}'")
+        node = node[key]
+        for idx in re.findall(r"\[(\d+)\]", idx_part):
+            try:
+                node = node[int(idx)]
+            except (IndexError, TypeError) as e:
+                raise ConfigurationError(
+                    f"Interpolation key not found: '{dotted}'") from e
     return node
 
 
@@ -185,7 +214,11 @@ def _resolve_ref(ref: str, root: Config, depth: int) -> Any:
         payload = ref.split(":", 1)[1]
         if "," in payload:
             var, default = payload.split(",", 1)
-            return os.environ.get(var.strip(), default.strip())
+            default = default.strip()
+            if (len(default) >= 2 and default[0] == default[-1]
+                    and default[0] in "'\""):
+                default = default[1:-1]
+            return os.environ.get(var.strip(), default)
         return _require_env(payload.strip())
     value = _lookup(root, ref)
     if isinstance(value, str):
@@ -208,7 +241,7 @@ def _load_yaml(path: Path) -> Dict[str, Any]:
     if not path.is_file():
         raise ConfigurationError(f"Config file not found: {path}")
     with open(path) as f:
-        data = yaml.safe_load(f)
+        data = yaml.load(f, Loader=_Loader)  # nosec - custom SafeLoader subclass
     if data is None:
         return {}
     if not isinstance(data, dict):
