@@ -1,0 +1,166 @@
+"""Inference / showcase CLI (reference src/scripts/infer_yolo.py:86-374,
+re-targeted at CABiNet checkpoints — the reference shells out to the external
+ultralytics package; here the in-repo model serves the same role).
+
+Routes by path type/extension:
+  - image (.png/.jpg/...): writes <stem>_mask.png + <stem>_overlay.png
+  - folder: every image inside
+  - video (.mp4/.avi/...): writes <stem>_mask.mp4 + <stem>_overlay.mp4,
+    streaming batch-1 at a fixed jitted resolution (low-latency path)
+
+Usage:
+    python -m cabinet_tpu.cli.infer --checkpoint ck --dataset uavid \
+        --source img.png [--out-dir out] [--alpha 0.5] [--imgsz 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv"}
+
+
+class Segmenter:
+    """Batch-1 fixed-resolution jitted CABiNet inference engine."""
+
+    def __init__(self, checkpoint: str, dataset: str, mode: str = "large",
+                 imgsz: int = 1024, dtype_name: str = "bfloat16"):
+        import jax
+        import jax.numpy as jnp
+
+        from cabinet_tpu.data.datasets import DATASET_REGISTRY
+        from cabinet_tpu.models import CABiNet
+        from cabinet_tpu.train.checkpoint import load_any_checkpoint
+
+        ds_cls = DATASET_REGISTRY[dataset]
+        self.n_classes = ds_cls.NUM_CLASSES
+        self.mean = np.asarray(ds_cls.MEAN, np.float32)
+        self.std = np.asarray(ds_cls.STD, np.float32)
+        self.imgsz = imgsz
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+
+        self.model = CABiNet(n_classes=self.n_classes, mode=mode, dtype=dtype)
+        init_x = jnp.zeros((1, imgsz, imgsz, 3), dtype)
+        template = jax.jit(lambda: self.model.init(jax.random.PRNGKey(0),
+                                                   init_x, train=False))()
+        loaded = load_any_checkpoint(checkpoint, template)
+        self.variables = {"params": loaded["params"],
+                          "batch_stats": loaded.get("batch_stats", {})}
+
+        @jax.jit
+        def _forward(v, x):
+            logits, _ = self.model.apply(v, x, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._forward = _forward
+        self._jnp = jnp
+
+    def predict(self, rgb: np.ndarray) -> np.ndarray:
+        """RGB uint8 (H,W,3) -> class-ID mask (H,W). Resizes through the
+        fixed jitted resolution and back (one program for any input size)."""
+        h, w = rgb.shape[:2]
+        im = Image.fromarray(rgb).resize((self.imgsz, self.imgsz),
+                                         Image.BILINEAR)
+        x = (np.asarray(im, np.float32) / 255.0 - self.mean) / self.std
+        pred = np.asarray(self._forward(self.variables,
+                                        self._jnp.asarray(x[None])))[0]
+        if (h, w) != (self.imgsz, self.imgsz):
+            pred = np.asarray(Image.fromarray(pred.astype(np.uint8)).resize(
+                (w, h), Image.NEAREST))
+        return pred
+
+
+def _overlay(rgb: np.ndarray, mask_rgb: np.ndarray, alpha: float) -> np.ndarray:
+    return ((1 - alpha) * rgb + alpha * mask_rgb).astype(np.uint8)
+
+
+def infer_image(seg: Segmenter, classes, path: Path, out_dir: Path,
+                alpha: float) -> None:
+    from cabinet_tpu.data.palettes import colorize_mask
+
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    pred = seg.predict(rgb)
+    mask_rgb = colorize_mask(pred, classes)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(mask_rgb).save(out_dir / f"{path.stem}_mask.png")
+    Image.fromarray(_overlay(rgb, mask_rgb, alpha)).save(
+        out_dir / f"{path.stem}_overlay.png")
+
+
+def infer_video(seg: Segmenter, classes, path: Path, out_dir: Path,
+                alpha: float) -> None:
+    import cv2
+
+    from cabinet_tpu.data.palettes import colorize_mask
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise FileNotFoundError(f"Cannot open video: {path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    mask_w = cv2.VideoWriter(str(out_dir / f"{path.stem}_mask.mp4"), fourcc,
+                             fps, (w, h))
+    over_w = cv2.VideoWriter(str(out_dir / f"{path.stem}_overlay.mp4"), fourcc,
+                             fps, (w, h))
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        pred = seg.predict(rgb)
+        mask_rgb = colorize_mask(pred, classes)
+        mask_w.write(cv2.cvtColor(mask_rgb, cv2.COLOR_RGB2BGR))
+        over_w.write(cv2.cvtColor(_overlay(rgb, mask_rgb, alpha),
+                                  cv2.COLOR_RGB2BGR))
+        n += 1
+    cap.release()
+    mask_w.release()
+    over_w.release()
+    print(f"[INFO] {path.name}: {n} frames")
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    from cabinet_tpu.data.palettes import PALETTES
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--dataset", required=True, choices=sorted(PALETTES))
+    p.add_argument("--source", required=True, type=Path)
+    p.add_argument("--mode", default="large", choices=["large", "small"])
+    p.add_argument("--imgsz", type=int, default=1024)
+    p.add_argument("--out-dir", type=Path, default=Path("inference_out"))
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+
+    classes = PALETTES[args.dataset]
+    seg = Segmenter(args.checkpoint, args.dataset, args.mode, args.imgsz,
+                    args.dtype)
+
+    src = args.source
+    if src.is_dir():
+        for f in sorted(src.iterdir()):
+            if f.suffix.lower() in IMAGE_EXTS:
+                infer_image(seg, classes, f, args.out_dir, args.alpha)
+    elif src.suffix.lower() in IMAGE_EXTS:
+        infer_image(seg, classes, src, args.out_dir, args.alpha)
+    elif src.suffix.lower() in VIDEO_EXTS:
+        infer_video(seg, classes, src, args.out_dir, args.alpha)
+    else:
+        raise ValueError(f"Unsupported source: {src}")
+    print(f"[DONE] Output: {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
