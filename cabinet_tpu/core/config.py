@@ -286,7 +286,8 @@ def _parse_override_value(text: str) -> Any:
 
 
 def _parse_defaults_entry(entry: Any) -> Optional[Tuple[str, str, Optional[str]]]:
-    """Returns (group, name, target_key) or None for `_self_`."""
+    """Returns (group, name, target_key) or None for `_self_`.
+    group == "" means a sibling ROOT config (inheritance)."""
     if entry == "_self_":
         return None
     if isinstance(entry, str):
@@ -294,7 +295,8 @@ def _parse_defaults_entry(entry: Any) -> Optional[Tuple[str, str, Optional[str]]
         if "/" in entry:
             group, name = entry.rsplit("/", 1)
             return (group, name, group)
-        raise ConfigurationError(f"Unsupported defaults entry: {entry!r}")
+        # bare name: inherit another root config from the same directory
+        return ("", entry, None)
     if isinstance(entry, dict) and len(entry) == 1:
         (key, name), = entry.items()
         if name is None:
@@ -334,13 +336,14 @@ def compose(
         key, _, raw_val = ov.partition("=")
         allow_new = key.startswith("+")
         key = key.lstrip("+")
+        group_key = key.split("@", 1)[0]  # "yolo/model@model" selects group "yolo/model"
         is_group = (
             "." not in key
             and not allow_new
-            and (key in group_dirs or (config_dir / key).is_dir())
+            and (group_key in group_dirs or (config_dir / group_key).is_dir())
         )
         if is_group:
-            group_sel[key] = raw_val
+            group_sel[group_key] = raw_val
         else:
             value_overrides.append((key, _parse_override_value(raw_val), allow_new))
 
@@ -353,6 +356,13 @@ def compose(
             self_seen = True
             continue
         group, name, target = parsed
+        if group == "":
+            # Root-config inheritance: recursively compose the parent
+            # (propagating the remaining group selections into it).
+            parent = compose(config_dir, name,
+                             [f"{g}={n}" for g, n in group_sel.items()])
+            merged = _deep_merge(merged, parent.to_dict(resolve=False))
+            continue
         if group in group_sel:
             name = group_sel.pop(group)
         group_cfg = _load_yaml(config_dir / group / f"{name}.yaml")

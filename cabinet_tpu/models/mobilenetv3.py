@@ -84,18 +84,11 @@ def _conv(features: int, kernel: int, stride: int, dtype: Dtype, name: str) -> n
     )
 
 
-def _dwconv(channels: int, kernel: int, stride: int, dtype: Dtype, name: str) -> nn.Conv:
-    return nn.Conv(
-        channels,
-        (kernel, kernel),
-        strides=(stride, stride),
-        padding=[((kernel - 1) // 2,) * 2] * 2,
-        feature_group_count=channels,
-        use_bias=False,
-        dtype=dtype,
-        kernel_init=mobilenet_conv_init,
-        name=name,
-    )
+def _dwconv(channels: int, kernel: int, stride: int, dtype: Dtype, name: str):
+    from cabinet_tpu.models.layers import DepthwiseConv2D
+
+    return DepthwiseConv2D(kernel_size=kernel, stride=stride, dtype=dtype,
+                           kernel_init=mobilenet_conv_init, name=name)
 
 
 class InvertedResidual(nn.Module):

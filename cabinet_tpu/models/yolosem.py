@@ -1,0 +1,187 @@
+"""YOLO-sem: CSP backbone + PAN-FPN neck + dense semantic head (Flax/NHWC).
+
+The reference's second model family is `yolo26{n,s,m,l,x}-sem`, trained via
+thin CLI wrappers around the EXTERNAL ultralytics package (reference
+train_yolo.py:191-295 — no model code in-repo). This module provides an
+in-repo TPU-native equivalent with the same contract (reference
+configs/train_yolo.yaml): five width/depth-scaled variants, semantic
+segmentation output at input resolution, mIoU/pixel-accuracy eval, and the
+nbs/cosine-LR/mosaic-mixup-copypaste training recipe (cli/train_yolo.py).
+
+Architecture (YOLOv8-style, segmentation-adapted):
+  backbone: stem s2 -> 4 stages of ConvBNSiLU s2 + C2f (P2..P5)
+  neck: PAN-FPN top-down (P5->P4->P3) with C2f fusion
+  head: upsample-and-concat P3/P4/P5 to /8, 2x ConvBNSiLU, 1x1 classifier,
+        bilinear upsample to input resolution; aux head off P4 for deep
+        supervision (mirrors CABiNet's dual-output training contract).
+
+Returns (logits, aux_logits) like CABiNet so every trainer/eval path is
+shared between the two families.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cabinet_tpu.models.cab import resize_bilinear
+
+Dtype = Any
+
+# (depth_multiple, width_multiple, max_channels) — scaled so parameter
+# counts land near the reference table (1.6/6.5/14.3/17.9/40.2 M,
+# BASELINE.md UAVid rows).
+YOLOSEM_VARIANTS: Dict[str, Tuple[float, float, int]] = {
+    "n": (0.34, 0.25, 1024),
+    "s": (0.34, 0.50, 1024),
+    "m": (0.50, 0.75, 768),
+    "l": (0.67, 1.00, 448),
+    "x": (0.84, 1.25, 512),
+}
+
+
+def _ch(width: float, c: int, max_channels: int) -> int:
+    return int(min(c, max_channels) * width // 8) * 8 or 8
+
+
+def _depth(depth: float, n: int) -> int:
+    return max(1, round(n * depth))
+
+
+class ConvBNSiLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(momentum=0.97, epsilon=1e-3, dtype=self.dtype,
+                         name="bn")(x, use_running_average=not train)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = ConvBNSiLU(self.features, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNSiLU(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.features else y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with n bottlenecks (YOLOv8 C2f)."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        half = self.features // 2
+        y = ConvBNSiLU(self.features, 1, dtype=self.dtype, name="cv1")(x, train)
+        a, b = y[..., :half], y[..., half:]
+        outs = [a, b]
+        for i in range(self.n):
+            b = Bottleneck(half, self.shortcut, dtype=self.dtype,
+                           name=f"m{i}")(b, train)
+            outs.append(b)
+        y = jnp.concatenate(outs, axis=-1)
+        return ConvBNSiLU(self.features, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling - fast (3 chained 5x5 max pools)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        half = max(self.features // 2, 8)
+        x = ConvBNSiLU(half, 1, dtype=self.dtype, name="cv1")(x, train)
+        p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding="SAME")
+        p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding="SAME")
+        p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding="SAME")
+        y = jnp.concatenate([x, p1, p2, p3], axis=-1)
+        return ConvBNSiLU(self.features, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class YOLOSem(nn.Module):
+    """Semantic segmentation YOLO. Input (B,H,W,3) -> (logits, aux) at (H,W)."""
+
+    n_classes: int
+    variant: str = "n"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.variant not in YOLOSEM_VARIANTS:
+            raise ValueError(f"Unknown YOLO-sem variant: {self.variant}")
+        d, w, mc = YOLOSEM_VARIANTS[self.variant]
+        H, W = x.shape[1:3]
+        C = lambda c: _ch(w, c, mc)
+        N = lambda n: _depth(d, n)
+
+        # Backbone ------------------------------------------------------
+        x1 = ConvBNSiLU(C(64), 3, 2, dtype=self.dtype, name="stem")(x, train)
+        x2 = ConvBNSiLU(C(128), 3, 2, dtype=self.dtype, name="down2")(x1, train)
+        x2 = C2f(C(128), N(3), dtype=self.dtype, name="c2f_2")(x2, train)   # /4
+        x3 = ConvBNSiLU(C(256), 3, 2, dtype=self.dtype, name="down3")(x2, train)
+        x3 = C2f(C(256), N(6), dtype=self.dtype, name="c2f_3")(x3, train)   # /8  P3
+        x4 = ConvBNSiLU(C(512), 3, 2, dtype=self.dtype, name="down4")(x3, train)
+        x4 = C2f(C(512), N(6), dtype=self.dtype, name="c2f_4")(x4, train)   # /16 P4
+        x5 = ConvBNSiLU(C(1024), 3, 2, dtype=self.dtype, name="down5")(x4, train)
+        x5 = C2f(C(1024), N(3), dtype=self.dtype, name="c2f_5")(x5, train)  # /32
+        x5 = SPPF(C(1024), dtype=self.dtype, name="sppf")(x5, train)        # P5
+
+        # PAN-FPN top-down ------------------------------------------------
+        p5_up = resize_bilinear(x5, x4.shape[1:3])
+        p4 = C2f(C(512), N(3), shortcut=False, dtype=self.dtype,
+                 name="fpn_4")(jnp.concatenate([p5_up, x4], -1), train)
+        p4_up = resize_bilinear(p4, x3.shape[1:3])
+        p3 = C2f(C(256), N(3), shortcut=False, dtype=self.dtype,
+                 name="fpn_3")(jnp.concatenate([p4_up, x3], -1), train)
+
+        # Semantic head: fuse P3 + up(P4) + up(P5) at /8 -------------------
+        fused = jnp.concatenate([
+            p3,
+            resize_bilinear(p4, p3.shape[1:3]),
+            resize_bilinear(x5, p3.shape[1:3]),
+        ], axis=-1)
+        h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head1")(fused, train)
+        h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head2")(h, train)
+        logits = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
+                         name="classifier")(h)
+
+        aux = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="aux1")(p4, train)
+        aux = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
+                      name="aux_classifier")(aux)
+
+        logits = resize_bilinear(logits, (H, W))
+        aux = resize_bilinear(aux, (H, W))
+        return logits, aux
+
+
+def build_yolosem(n_classes: int, model_name: str = "yolo26n-sem",
+                  dtype: Dtype = jnp.float32) -> YOLOSem:
+    """Factory accepting reference-style model names (yolo26{n,s,m,l,x}-sem,
+    reference train_yolo.py:22-28 allowlist)."""
+    name = model_name.lower()
+    for v in ("n", "s", "m", "l", "x"):
+        if f"26{v}" in name or name.endswith(f"{v}-sem") or name == v:
+            return YOLOSem(n_classes=n_classes, variant=v, dtype=dtype)
+    raise ValueError(f"Unrecognized YOLO-sem model name: {model_name}")

@@ -58,6 +58,52 @@ def warmup_poly_schedule(
     return schedule
 
 
+def warmup_cosine_schedule(
+    lr0: float,
+    lrf: float,
+    total_steps: int,
+    warmup_steps: int = 0,
+    warmup_start_lr: float = 0.0,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Ultralytics-style one-cycle cosine: lr(x) = lr0 * ((1-cos(pi x))/2 *
+    (lrf - 1) + 1), x in [0,1], with linear warmup (the YOLO pipeline's
+    schedule, reference configs/train_yolo.yaml: cos_lr + lrf)."""
+
+    def schedule(count: jnp.ndarray) -> jnp.ndarray:
+        count = jnp.asarray(count, jnp.float32)
+        warm = warmup_start_lr + (count / max(warmup_steps, 1)) * (lr0 - warmup_start_lr)
+        x = jnp.clip((count - warmup_steps)
+                     / max(total_steps - warmup_steps, 1), 0.0, 1.0)
+        cos = lr0 * ((1.0 - jnp.cos(jnp.pi * x)) / 2.0 * (lrf - 1.0) + 1.0)
+        if warmup_steps <= 0:
+            return cos
+        return jnp.where(count < warmup_steps, warm, cos)
+
+    return schedule
+
+
+def build_sgd(
+    params: Any,
+    schedule: Callable,
+    momentum: float = 0.937,
+    wd: float = 5e-4,
+    max_grad_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Uniform-LR SGD with wd on conv kernels only (YOLO-sem pipeline)."""
+    groups = {
+        WD: _sgd_group(schedule, momentum, wd, 1.0),
+        NOWD: _sgd_group(schedule, momentum, 0.0, 1.0),
+    }
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: WD if (path and getattr(path[-1], "key", None) ==
+                                  "kernel" and jnp.ndim(leaf) == 4) else NOWD,
+        params)
+    tx = optax.multi_transform(groups, labels)
+    if max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx
+
+
 def param_labels(params: Any,
                  decoder_modules: Sequence[str] = DECODER_MODULES) -> Any:
     """Label tree for optax.multi_transform, mirroring CABiNet.get_params.

@@ -83,18 +83,31 @@ def make_train_step(
     class_weights: Optional[jnp.ndarray] = None,
     accum_steps: int = 1,
     compute_dtype: Any = jnp.float32,
+    loss_type: str = "ohem",
+    aux_weight: float = 1.0,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
     """Build the jitted train step. `apply_fn(variables, x, train, mutable)`
-    must return ((final, aux), {"batch_stats": ...})."""
+    must return ((final, aux), {"batch_stats": ...}).
+
+    loss_type: "ohem" (CABiNet recipe, reference train.py:435) or "ce"
+    (plain weighted CE, YOLO-sem recipe). aux_weight scales the aux head's
+    deep-supervision term (1.0 for CABiNet)."""
 
     cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    def seg_loss(logits, labels):
+        if loss_type == "ohem":
+            return ohem_cross_entropy(logits, labels, n_min, thresh,
+                                      ignore_label, cw)
+        from cabinet_tpu.train.losses import cross_entropy_mean
+
+        return cross_entropy_mean(logits, labels, ignore_label, cw)
 
     def loss_fn(params, batch_stats, images, labels):
         (final, aux), mutated = apply_fn(
             {"params": params, "batch_stats": batch_stats},
             images.astype(compute_dtype), train=True, mutable=["batch_stats"])
-        loss = (ohem_cross_entropy(final, labels, n_min, thresh, ignore_label, cw)
-                + ohem_cross_entropy(aux, labels, n_min, thresh, ignore_label, cw))
+        loss = seg_loss(final, labels) + aux_weight * seg_loss(aux, labels)
         return loss / accum_steps, mutated["batch_stats"]
 
     def apply_update(state: TrainState, grads) -> TrainState:
