@@ -153,7 +153,10 @@ def train_and_evaluate(cfg) -> dict:
                         f"(step {int(state.step)})")
 
     # ---- mesh ------------------------------------------------------------
-    n_data = int(cfg.select("runtime.mesh_data", 0)) or len(jax.devices())
+    from cabinet_tpu.core.mesh import auto_data_axis
+
+    n_data = (int(cfg.select("runtime.mesh_data", 0))
+              or auto_data_axis(int(tc.batch_size)))
     mesh = make_mesh(n_data=n_data)
     state = replicate(state, mesh)
     logger.info(f"Mesh: {dict(mesh.shape)}; max_iter={max_iter}; "

@@ -170,8 +170,10 @@ def train(cfg) -> dict:
                            compute_dtype=common.compute_dtype_of(cfg))
     flush = make_flush_step(tx)
 
+    from cabinet_tpu.core.mesh import auto_data_axis
+
     mesh = make_mesh(n_data=int(cfg.select("runtime.mesh_data", 0))
-                     or len(jax.devices()))
+                     or auto_data_axis(int(tc.batch_size)))
     state = replicate(state, mesh)
     logger.info(f"Mesh {dict(mesh.shape)}; accum={accum} "
                 f"total_steps={total_steps}")

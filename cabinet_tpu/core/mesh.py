@@ -48,6 +48,16 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_data_axis(batch_size: int, n_devices: Optional[int] = None) -> int:
+    """Largest divisor of batch_size that fits the device count — keeps the
+    batch evenly shardable on the data axis regardless of batch/device ratio."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    d = min(batch_size, n)
+    while d > 1 and batch_size % d != 0:
+        d -= 1
+    return max(d, 1)
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard dim 0 (batch) over the data axis; replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

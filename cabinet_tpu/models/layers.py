@@ -58,10 +58,19 @@ def batch_norm(dtype: Dtype, name: str = "bn") -> nn.BatchNorm:
 
 
 class DepthwiseConv2D(nn.Module):
-    """Depthwise conv as shifted FMAs (ops/depthwise.py) — ~2.5x faster than
-    XLA's feature_group_count lowering on TPU. Parameter layout matches
-    nn.Conv's depthwise kernel (kH, kW, 1, C), so converted checkpoints are
-    unaffected."""
+    """Depthwise conv module — single seam for swapping implementations.
+
+    Parameter layout matches nn.Conv's depthwise kernel (kH, kW, 1, C), so
+    converted checkpoints are unaffected by the implementation choice.
+
+    Implementation notes (measured on v5e, bf16): the isolated shift-FMA
+    form (ops/depthwise.py) beats XLA's feature_group_count lowering 2.5x
+    in a microbenchmark, but IN CONTEXT it regressed the full model 2x —
+    XLA fuses the 9 shifted reads into downstream consumers and re-reads
+    the padded input from HBM 9 times. The native conv lowering keeps one
+    read. A Pallas kernel that holds the input tile in VMEM is the real
+    fix; until then this uses the native lowering.
+    """
 
     kernel_size: int = 3
     stride: int = 1
@@ -71,15 +80,18 @@ class DepthwiseConv2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from cabinet_tpu.ops.depthwise import depthwise_conv2d
+        import jax
 
         channels = x.shape[-1]
         k = self.kernel_size
+        pad = self.padding if self.padding is not None else (k - 1) // 2
         kernel = self.param("kernel", self.kernel_init, (k, k, 1, channels),
                             jnp.float32)
-        return depthwise_conv2d(x.astype(self.dtype),
-                                kernel.astype(self.dtype),
-                                stride=self.stride, padding=self.padding)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (self.stride, self.stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=channels)
 
 
 class ConvBNReLU(nn.Module):

@@ -1,0 +1,135 @@
+"""End-to-end CLI integration: compose config -> train 2 epochs on a tiny
+synthetic UAVid tree -> checkpoints appear -> standalone evaluate consumes
+them -> resume continues. Mirrors the reference's integration suite intent
+(test_training_pipeline.py) at the CLI boundary."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cabinet_tpu.cli.common import CONFIG_DIR
+from cabinet_tpu.core.config import compose
+
+
+def _make_tree(root, n=4, size=(24, 24)):
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "masks" / split).mkdir(parents=True)
+        for i in range(n):
+            img = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+            mask = rng.integers(0, 8, size, dtype=np.uint8)
+            Image.fromarray(img).save(root / "images" / split / f"s{i}.png")
+            Image.fromarray(mask, "L").save(root / "masks" / split / f"s{i}.png")
+    return root
+
+
+TINY_MODEL_OVERRIDES = [
+    "model=mobilenetv3_small",
+    # truncated cfg table for speed; flax infers attention width
+    "model.cfgs=[[3,1,16,1,0,2],[3,4.5,24,0,0,2],[5,4,40,1,1,2],[5,6,96,1,1,2]]",
+]
+
+
+@pytest.fixture
+def tiny_run(tmp_path, monkeypatch):
+    data_root = _make_tree(tmp_path / "data")
+    exp = tmp_path / "exp"
+    monkeypatch.setenv("UAVID_YOLO_ROOT", str(data_root))
+    overrides = TINY_MODEL_OVERRIDES + [
+        "dataset=uavid",
+        "dataset.cropsize=[16,16]",
+        "training_config.batch_size=2",
+        "training_config.num_workers=0",
+        "training_config.epochs=2",
+        "training_config.warmup_steps=1",
+        "training_config.cls_pw=0.5",
+        "training_config.patience=0",
+        f"training_config.experiments_path={exp}",
+        "training_config.model_save_name=tiny",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "validation_config.eval_scales=[1.0]",
+        "validation_config.flip=false",
+        "runtime.compute_dtype=float32",
+    ]
+    return data_root, exp, overrides
+
+
+def test_train_cli_end_to_end(tiny_run):
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides)
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (exp / "checkpoint_last").exists()
+    assert (exp / "tiny").exists()  # final EMA variables
+    assert (exp / "config.yaml").exists()
+
+    # standalone evaluate consumes the final checkpoint
+    from cabinet_tpu.cli.evaluate import evaluate_checkpoint
+
+    eval_cfg = compose(CONFIG_DIR, "evaluate", TINY_MODEL_OVERRIDES + [
+        "dataset=uavid",
+        "dataset.cropsize=[16,16]",
+        f"checkpoint_path={exp / 'tiny'}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "validation_config.eval_scales=[1.0]",
+        "validation_config.flip=false",
+    ])
+    res = evaluate_checkpoint(eval_cfg)
+    assert 0.0 <= res["mIoU"] <= 1.0
+
+    # resume restarts from checkpoint_last without error
+    cfg2 = compose(CONFIG_DIR, "train", overrides + [
+        "training_config.resume=true",
+        "training_config.epochs=3",
+    ])
+    results2 = train_and_evaluate(cfg2)
+    assert np.isfinite(results2["final"]["mIoU"])
+
+
+def test_evaluate_rejects_train_split(tiny_run):
+    from cabinet_tpu.cli.evaluate import evaluate_checkpoint
+    from cabinet_tpu.core.exceptions import ConfigurationError
+
+    _, exp, _ = tiny_run
+    cfg = compose(CONFIG_DIR, "evaluate", TINY_MODEL_OVERRIDES + [
+        "dataset=uavid", "checkpoint_path=/nonexistent", "split=train",
+    ])
+    with pytest.raises(ConfigurationError, match="train"):
+        evaluate_checkpoint(cfg)
+
+
+def test_yolo_train_cli_end_to_end(tiny_run):
+    from cabinet_tpu.cli.train_yolo import train, validate
+
+    _, exp, _ = tiny_run
+    yexp = exp.parent / "yexp"
+    overrides = [
+        "dataset=uavid",
+        "training_config.batch_size=2",
+        "training_config.num_workers=0",
+        "training_config.epochs=1",
+        "training_config.imgsz=32",
+        "training_config.nbs=4",
+        "training_config.cls_pw=0",
+        f"training_config.experiments_path={yexp}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "runtime.compute_dtype=float32",
+    ]
+    cfg = compose(CONFIG_DIR, "train_yolo", overrides)
+    res = train(cfg)
+    assert np.isfinite(res["best_miou"])
+    assert (yexp / "final").exists()
+
+    val_cfg = compose(CONFIG_DIR, "train_yolo", overrides + [
+        "mode=val", f"weights={yexp / 'final'}"])
+    vres = validate(val_cfg)
+    assert 0.0 <= vres["mIoU"] <= 1.0
