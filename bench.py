@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 500.0
-K = 21  # chain length (K-1 differenced iterations)
+K = 9  # chain length (K-1 differenced iterations)
 
 
 def main() -> None:
@@ -55,7 +55,7 @@ def main() -> None:
         return min(ts)
 
     best, best_batch = 0.0, 0
-    for batch in (8, 16, 32):
+    for batch in (32, 64, 96):
         x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, 3)),
                         dtype)
         try:
