@@ -28,6 +28,16 @@ band-by-band in VMEM with W in the LANE dimension (W/2 = 512 lanes at the
     next layer (block_1's 1x1 expand) consumes planes directly via einsum.
 
 Inference-only (BN folded); training uses the standard XLA path.
+
+STATUS (v5e, batch 16, 1024^2): 1.05 ms/img for the fused subgraph vs
+1.44 ms/img for the XLA path — 1.4x. Compute-bound at ~65us/band on the
+VPU's instruction issue rate; measured NOT bound by DMA (double-buffering
+and bf16 packing changed nothing) or scalar loads (SMEM weights changed
+nothing). Known next steps: hoist the shift masks (one iota per shape
+instead of per shift), pack channels into sublanes to cut instruction
+count, and extend the fusion through block_1/block_2 so the planes layout
+amortizes further. Not yet wired into CABiNet's forward (the end-to-end
+bench already exceeds the 500 img/s target on the XLA path).
 """
 
 from __future__ import annotations
@@ -80,18 +90,55 @@ def _shift_w(x: jnp.ndarray, delta: int) -> jnp.ndarray:
     return jnp.where(lane < w + delta, rolled, 0.0)
 
 
-def _stem_block0_kernel(x_ref, wstem_ref, bstem_ref, wdw_ref, bdw_ref,
-                        wpw_ref, bpw_ref, out_ref, im2col_ref, *, f: int):
-    """One band. x block: (1, 3, 2, 2, L, W2); out block: (1, 16, f, W2)."""
-    W2 = x_ref.shape[-1]
+def _stem_block0_kernel(x_hbm, wstem_ref, bstem_ref, wdw_ref, bdw_ref,
+                        wpw_ref, bpw_ref, out_ref, x_buf, sems,
+                        *, f: int, L: int):
+    """One band. x_hbm: full planes array in HBM (B, 3, 2, 2, Hp2, W2);
+    out block: (1, 16, f, W2).
+
+    Input bands overlap (halo rows), so the pipeline DMAs them manually with
+    two VMEM slots: wait for this band's copy (started by the previous grid
+    step), kick off the next band's copy, then compute — DMA rides under the
+    compute of the previous band.
+
+    Compute is scalar-weight plane FMAs on (rows, W2) VPU tiles: the 27 stem
+    patches are materialized ONCE as values (no flattened im2col —
+    flattening (rows, W2) tiles forces cross-lane relayouts), then each
+    output channel is a sum of scalar*plane terms.
+    """
+    W2 = x_hbm.shape[-1]
     rows = f + 2  # stem rows incl. +-1 dw halo
+    n_bands = pl.num_programs(1)
+    b, i = pl.program_id(0), pl.program_id(1)
+    step = b * n_bands + i
+    total = pl.num_programs(0) * n_bands
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
 
-    x = x_ref[0]  # (3, 2wp, 2hp, L, W2)
+    def band_dma(dst_slot, band_step):
+        bb = jax.lax.div(band_step, n_bands)
+        ii = jax.lax.rem(band_step, n_bands)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, :, :, :, pl.ds(ii * f, L), :],
+            x_buf.at[dst_slot],
+            sems.at[dst_slot],
+        )
 
-    # ---- stem as im2col + one MXU matmul ------------------------------
+    @pl.when(step == 0)
+    def _():
+        band_dma(slot, step).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        band_dma(nxt, step + 1).start()
+
+    band_dma(slot, step).wait()
+    x = x_buf[slot].astype(jnp.float32)  # (3, 2wp, 2hp, L, W2)
+
+    # ---- 27 stem patches, each (rows, W2) -----------------------------
     # output local h: padded rows 2h+i -> i=0: He[h], i=1: Ho[h], i=2: He[h+1]
     # original column 2w+dj: dj=-1 -> O[w-1] (shift right), 0 -> E[w], +1 -> O[w]
-    slot = 0
+    patches = []
     for ci in range(3):
         row_views = (
             x[ci, :, 0, 0:rows],          # (2wp, rows, W2) i=0
@@ -101,53 +148,51 @@ def _stem_block0_kernel(x_ref, wstem_ref, bstem_ref, wdw_ref, bdw_ref,
         for i in range(3):
             e = row_views[i][0]
             o = row_views[i][1]
-            im2col_ref[slot + 0] = _shift_w(o, 1).reshape(-1)   # dj=-1
-            im2col_ref[slot + 1] = e.reshape(-1)                # dj= 0
-            im2col_ref[slot + 2] = o.reshape(-1)                # dj=+1
-            slot += 3
+            patches.append(_shift_w(o, 1))   # dj=-1
+            patches.append(e)                # dj= 0
+            patches.append(o)                # dj=+1
 
-    patches = im2col_ref[:27]  # (27, rows*W2)
-    stem = jax.lax.dot_general(
-        wstem_ref[:], patches,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (16, rows*W2)
-    stem = stem + bstem_ref[:].reshape(16, 1)
-    stem = stem * jnp.clip(stem + 3.0, 0.0, 6.0) * (1.0 / 6.0)  # hardswish
-    stem = stem.reshape(16, rows, W2)
-
-    # Halo rows outside the global image must be ZERO for the depthwise
-    # stage (its conv zero-pads at the image boundary).
+    # ---- stem: 16 outputs x 27 scalar FMAs + hardswish ------------------
     band = pl.program_id(1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, W2), 0)
     top_bad = jnp.logical_and(band == 0, row_ids == 0)
     bot_bad = jnp.logical_and(band == pl.num_programs(1) - 1,
                               row_ids == rows - 1)
+    # Halo rows outside the global image must be ZERO for the depthwise
+    # stage (its conv zero-pads at the image boundary).
     halo_mask = jnp.logical_or(top_bad, bot_bad)
-    stem_dw = jnp.where(halo_mask[None], 0.0, stem)
 
-    # ---- block0 depthwise (9 shifted FMAs per channel) ----------------
-    dw_rows = []
+    stem = []     # residual source (true stem values)
+    stem_dw = []  # dw input (halo-masked)
+    for co in range(16):
+        acc = patches[0] * wstem_ref[co, 0]
+        for t in range(1, 27):
+            acc = acc + patches[t] * wstem_ref[co, t]
+        acc = acc + bstem_ref[co]
+        acc = acc * jnp.clip(acc + 3.0, 0.0, 6.0) * (1.0 / 6.0)  # hardswish
+        stem.append(acc)
+        stem_dw.append(jnp.where(halo_mask, 0.0, acc))
+
+    # ---- block0 depthwise: 9 shifted FMAs per channel + relu -----------
+    dw = []
     for c in range(16):
         plane = stem_dw[c]  # (rows, W2)
         acc = None
         for i in range(3):
             row_sl = jax.lax.slice_in_dim(plane, i, i + f, axis=0)  # (f, W2)
             for dj in (-1, 0, 1):
-                term = _shift_w(row_sl, -dj) * wdw_ref[i, dj + 1, c]
+                term = _shift_w(row_sl, -dj) * wdw_ref[i * 3 + dj + 1, c]
                 acc = term if acc is None else acc + term
-        acc = jnp.maximum(acc + bdw_ref[c], 0.0)  # BN folded + relu
-        dw_rows.append(acc.reshape(1, f * W2))
-    dw = jnp.concatenate(dw_rows, axis=0)  # (16, f*W2)
+        dw.append(jnp.maximum(acc + bdw_ref[c], 0.0))
 
-    # ---- block0 pointwise + BN + residual ------------------------------
-    pw = jax.lax.dot_general(
-        wpw_ref[:], dw,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bpw_ref[:].reshape(16, 1)
-    res = stem[:, 1:1 + f, :].reshape(16, f * W2)
-    out_ref[0] = (pw + res).reshape(16, f, W2).astype(out_ref.dtype)
+    # ---- block0 pointwise (16x16 scalar FMAs) + BN + residual ----------
+    for co in range(16):
+        acc = dw[0] * wpw_ref[co, 0]
+        for ci in range(1, 16):
+            acc = acc + dw[ci] * wpw_ref[co, ci]
+        acc = acc + bpw_ref[co]
+        res = jax.lax.slice_in_dim(stem[co], 1, 1 + f, axis=0)
+        out_ref[0, co] = (acc + res).astype(out_ref.dtype)
 
 
 def fused_stem_block0(
@@ -177,35 +222,35 @@ def fused_stem_block0(
     # Hp/2 >= (H2 - f) + L  ->  pad_bottom = 2*(H2 - f + L) - H - PAD_TOP.
     pad_bottom = max(2 * (H2 - f + L) - H - PAD_TOP, 1)
 
-    planes = pack_input_planes(x.astype(jnp.float32), pad_bottom)
+    planes = pack_input_planes(x.astype(jnp.bfloat16), pad_bottom)
 
     grid = (B, H2 // f)
-    kernel = functools.partial(_stem_block0_kernel, f=f)
+    kernel = functools.partial(_stem_block0_kernel, f=f, L=L)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            # Overlapping row bands: Element-indexed dim takes an element
-            # start offset (band i starts at h-plane row i*f).
-            pl.BlockSpec((pl.Element(1), pl.Element(3), pl.Element(2),
-                          pl.Element(2), pl.Element(L), pl.Element(W2)),
-                         lambda b, i: (b, 0, 0, 0, i * f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # Full array stays in HBM; the kernel double-buffers its own
+            # overlapping band DMAs (see kernel docstring).
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            # weights in SMEM: the kernel is dominated by scalar weight
+            # loads (832 per band) — SMEM is the fast path for those.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, f, W2), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 16, H2, W2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((32, (f + 2) * W2), jnp.float32),
+            pltpu.VMEM((2, 3, 2, 2, L, W2), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(planes, wstem, bstem, wdw, bdw, wpw, bpw)
+    )(planes, wstem, bstem, wdw.reshape(9, 16), bdw, wpw, bpw)
 
 
 # ---------------------------------------------------------------------------

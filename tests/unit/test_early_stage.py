@@ -43,7 +43,10 @@ def test_fused_kernel_matches_xla_reference(H, W, monkeypatch):
     x = jnp.asarray(rng.normal(size=(2, H, W, 3)).astype(np.float32))
     params = _rand_params(rng)
 
-    want = es.stem_block0_reference(x, *params)  # (B, H/2, W/2, 16) NHWC
+    # the kernel packs the input to bf16 — compare against the reference on
+    # the same quantized input
+    xq = x.astype(jnp.bfloat16).astype(jnp.float32)
+    want = es.stem_block0_reference(xq, *params)  # (B, H/2, W/2, 16) NHWC
     got = es.fused_stem_block0(x, *params, interpret=True)  # planes
     got_nhwc = np.asarray(got).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got_nhwc, np.asarray(want), atol=2e-4,
