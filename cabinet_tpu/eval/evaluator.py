@@ -108,12 +108,85 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
     return prob
 
 
+def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
+                                flip: bool, mesh, variables: Any,
+                                image: jnp.ndarray) -> jnp.ndarray:
+    """Tile-parallel sliding window: the tile grid of ONE (possibly huge)
+    image is sharded across the mesh's data axis; each device evaluates its
+    tiles and the accumulated probability/count maps are psum-ed. This is
+    the framework's context-parallel analog (SURVEY §5.7: the reference's
+    "long-context" dimension is input resolution, up to 4096x2160)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from cabinet_tpu.core.mesh import DATA_AXIS
+
+    B, H, W, _ = image.shape
+    full_h, full_w = max(H, crop), max(W, crop)
+    hst, wst = (full_h - H) // 2, (full_w - W) // 2
+    if (full_h, full_w) != (H, W):
+        image = jnp.pad(image, ((0, 0), (hst, full_h - H - hst),
+                                (wst, full_w - W - wst), (0, 0)))
+
+    grid = tile_grid(full_h, full_w, crop)
+    n = mesh.shape[DATA_AXIS]
+    t_pad = -(-len(grid) // n) * n
+    weights = np.zeros(t_pad, np.float32)
+    weights[:len(grid)] = 1.0
+    grid_p = np.zeros((t_pad, 2), np.int32)
+    grid_p[:len(grid)] = grid
+
+    def worker(grid_local, wt_local, variables, image):
+        prob0 = jnp.zeros((B, full_h, full_w, n_classes), jnp.float32)
+        count0 = jnp.zeros((full_h, full_w), jnp.float32)
+        ones = jnp.ones((crop, crop), jnp.float32)
+
+        def body(carry, gw):
+            prob, count = carry
+            yx, wt = gw
+            y, x = yx[0], yx[1]
+            chip = jax.lax.dynamic_slice(
+                image, (0, y, x, 0), (B, crop, crop, image.shape[-1]))
+            cp = _chip_probs(apply_fn, variables, chip, flip) * wt
+            cur = jax.lax.dynamic_slice(prob, (0, y, x, 0),
+                                        (B, crop, crop, n_classes))
+            prob = jax.lax.dynamic_update_slice(prob, cur + cp, (0, y, x, 0))
+            ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
+            count = jax.lax.dynamic_update_slice(count, ccur + ones * wt,
+                                                 (y, x))
+            return (prob, count), None
+
+        (prob, count), _ = jax.lax.scan(body, (prob0, count0),
+                                        (grid_local, wt_local))
+        return (jax.lax.psum(prob, DATA_AXIS),
+                jax.lax.psum(count, DATA_AXIS))
+
+    prob, count = shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )(jnp.asarray(grid_p), jnp.asarray(weights), variables, image)
+
+    prob = prob / jnp.maximum(count, 1.0)[None, :, :, None]
+    if (full_h, full_w) != (H, W):
+        prob = jax.lax.dynamic_slice(prob, (0, hst, wst, 0),
+                                     (B, H, W, n_classes))
+    return prob
+
+
 def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
-                 scale: float, variables: Any, image: jnp.ndarray) -> jnp.ndarray:
+                 scale: float, variables: Any, image: jnp.ndarray,
+                 tile_mesh=None) -> jnp.ndarray:
     B, H, W, C = image.shape
     sh, sw = int(H * scale), int(W * scale)
     scaled = jax.image.resize(image, (B, sh, sw, C), method="bilinear")
-    prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables, scaled)
+    if tile_mesh is not None:
+        prob = _sliding_probs_tile_sharded(apply_fn, n_classes, crop, flip,
+                                           tile_mesh, variables, scaled)
+    else:
+        prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables,
+                              scaled)
     return jax.image.resize(prob, (B, H, W, n_classes), method="bilinear")
 
 
@@ -133,6 +206,7 @@ class MscEval:
         flip: bool = False,
         cropsize: int = 1024,
         compute_dtype: Any = jnp.float32,
+        tile_mesh: Any = None,
     ) -> None:
         self.apply_fn = apply_fn
         self.n_classes = n_classes
@@ -141,6 +215,9 @@ class MscEval:
         self.flip = flip
         self.cropsize = cropsize
         self.compute_dtype = compute_dtype
+        # Optional jax Mesh: shard each image's TILE GRID over the data axis
+        # (context-parallel eval of huge images; psum-ed accumulation).
+        self.tile_mesh = tile_mesh
         self._progs: Dict[Tuple[int, int, int], Callable] = {}
 
     def _program(self, B: int, H: int, W: int) -> Callable:
@@ -153,6 +230,7 @@ class MscEval:
         crop, flip = self.cropsize, self.flip
         apply_fn, ignore = self.apply_fn, self.ignore_label
         dtype = self.compute_dtype
+        tile_mesh = self.tile_mesh
 
         @jax.jit
         def run(variables, images, labels):
@@ -160,7 +238,7 @@ class MscEval:
             probs = jnp.zeros((B, H, W, n_classes), jnp.float32)
             for s in scales:
                 probs = probs + _scale_probs(apply_fn, n_classes, crop, flip,
-                                             s, variables, images)
+                                             s, variables, images, tile_mesh)
             preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)
             hist = confusion_matrix(preds, labels, n_classes, ignore)
             return preds, hist

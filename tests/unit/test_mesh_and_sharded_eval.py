@@ -90,3 +90,41 @@ def test_sharded_eval_histogram_matches_unsharded():
 
     np.testing.assert_array_equal(hist_plain, hist_sharded)
     assert hist_plain.sum() == 8 * 40 * 40
+
+
+@needs_8
+def test_tile_sharded_eval_matches_unsharded():
+    """Tiles of one image sharded across the mesh (context-parallel eval)
+    == the single-device scan, bit-for-bit on the histogram."""
+    from cabinet_tpu.eval.evaluator import MscEval
+
+    N_CLASSES = 3
+
+    def apply_fn(variables, images, train=False):
+        m = (images.mean(axis=-1) > 0).astype(jnp.float32)
+        logits = jnp.stack([1 - m, m, jnp.zeros_like(m)], axis=-1) * 7.0
+        return logits, logits
+
+    rng = np.random.default_rng(1)
+    images = np.where(rng.random((1, 100, 88, 3)) > 0.5, 1.0, -1.0
+                      ).astype(np.float32)
+    labels = rng.integers(0, N_CLASSES, (1, 100, 88)).astype(np.int64)
+
+    # single scale: bit-exact histogram
+    plain = MscEval(apply_fn, N_CLASSES, scales=(1.0,), cropsize=32)
+    _, hist_plain = plain.evaluate_batch({}, images, labels)
+    mesh = make_mesh()
+    sharded = MscEval(apply_fn, N_CLASSES, scales=(1.0,), cropsize=32,
+                      tile_mesh=mesh)
+    _, hist_sharded = sharded.evaluate_batch({}, images, labels)
+    np.testing.assert_array_equal(hist_plain, hist_sharded)
+
+    # multi-scale + flip: compare the probability maps (psum reordering can
+    # flip argmax on exact resize ties, so histograms may differ by a hair)
+    from cabinet_tpu.eval.evaluator import _scale_probs
+
+    img = jnp.asarray(images)
+    for s in (0.5, 1.0):
+        pa = _scale_probs(apply_fn, N_CLASSES, 32, True, s, {}, img, None)
+        pb = _scale_probs(apply_fn, N_CLASSES, 32, True, s, {}, img, mesh)
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
