@@ -116,3 +116,43 @@ def test_infer_segmenter_and_image(tmp_path, tiny_ckpt, monkeypatch):
     infer_mod.infer_image(seg, PALETTES["uavid"], img_path, out_dir, 0.5)
     assert (out_dir / "frame_mask.png").exists()
     assert (out_dir / "frame_overlay.png").exists()
+
+
+def test_convert_checkpoint_roundtrip(tmp_path, monkeypatch):
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    import cabinet_tpu.models.mobilenetv3 as mnv3
+    from cabinet_tpu.cli import convert_checkpoint as cc
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.train.checkpoint import CheckpointManager
+    from cabinet_tpu.utils.torch_convert import flax_to_torch
+
+    cfgs = [[3, 1, 16, 1, 0, 2], [3, 4.5, 24, 0, 0, 2], [5, 4, 40, 1, 1, 2],
+            [5, 6, 96, 1, 1, 2]]
+    monkeypatch.setattr(mnv3, "MOBILENETV3_SMALL_CFGS", cfgs)
+
+    model = CABiNet(n_classes=8, mode="small", cfgs=cfgs)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+
+    # export orbax -> .pth
+    mgr = CheckpointManager(tmp_path)
+    src = mgr.save_variables("v", variables)
+    pth = tmp_path / "model.pth"
+    cc.do_export(src, pth, "small", 8)
+    assert pth.exists()
+
+    # import .pth -> orbax, values round-trip
+    out = tmp_path / "back"
+    cc.do_import(pth, out, "small")
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        out.resolve(), {"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]})
+    a = jax.tree_util.tree_leaves(variables["params"])
+    b = jax.tree_util.tree_leaves(restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
