@@ -46,7 +46,7 @@ def main() -> None:
         out = jax.lax.fori_loop(0, k, body, images)
         return jnp.sum(out.astype(jnp.float32))
 
-    def time_chain(x, k, n=3):
+    def time_chain(x, k, n=2):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
@@ -55,7 +55,7 @@ def main() -> None:
         return min(ts)
 
     best, best_batch = 0.0, 0
-    for batch in (32, 64):
+    for batch in (64, 96):
         x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, 3)),
                         dtype)
         try:

@@ -129,6 +129,52 @@ def infer_video(seg: Segmenter, classes, path: Path, out_dir: Path,
     print(f"[INFO] {path.name}: {n} frames")
 
 
+def infer_showcase(seg: Segmenter, classes, paths, out_dir: Path,
+                   alpha: float, tile_size: Tuple[int, int] = (640, 360)
+                   ) -> None:
+    """2x2 showcase mosaic of up to 4 clips with a per-clip temporal
+    raw -> mask reveal ramp (reference infer_yolo.py:288-374): each tile
+    starts as raw footage and blends toward the segmentation overlay over
+    the clip, with staggered ramp offsets so tiles reveal one by one."""
+    import cv2
+
+    from cabinet_tpu.data.palettes import colorize_mask
+
+    paths = list(paths)[:4]
+    caps = [cv2.VideoCapture(str(p)) for p in paths]
+    if not caps or not all(c.isOpened() for c in caps):
+        raise FileNotFoundError(f"Cannot open showcase clips: {paths}")
+    fps = caps[0].get(cv2.CAP_PROP_FPS) or 25
+    n_frames = min(int(c.get(cv2.CAP_PROP_FRAME_COUNT)) or 1 for c in caps)
+    tw, th = tile_size
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(str(out_dir / "showcase.mp4"), fourcc, fps,
+                             (2 * tw, 2 * th))
+    for f in range(n_frames):
+        mosaic = np.zeros((2 * th, 2 * tw, 3), np.uint8)
+        for i, cap in enumerate(caps):
+            ok, frame = cap.read()
+            if not ok:
+                continue
+            rgb = cv2.cvtColor(cv2.resize(frame, (tw, th)), cv2.COLOR_BGR2RGB)
+            pred = seg.predict(rgb)
+            mask_rgb = colorize_mask(pred, classes)
+            # staggered ramp: tile i reveals over [i/4, (i+1)/4 + 1/4] of the clip
+            t = f / max(n_frames - 1, 1)
+            ramp = np.clip((t - i * 0.2) / 0.4, 0.0, 1.0)
+            blended = ((1 - ramp * alpha) * rgb + ramp * alpha * mask_rgb
+                       ).astype(np.uint8)
+            r, c = divmod(i, 2)
+            mosaic[r * th:(r + 1) * th, c * tw:(c + 1) * tw] = blended
+        writer.write(cv2.cvtColor(mosaic, cv2.COLOR_RGB2BGR))
+    for c in caps:
+        c.release()
+    writer.release()
+    print(f"[INFO] showcase: {n_frames} frames, {len(caps)} clips")
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     from cabinet_tpu.data.palettes import PALETTES
 
@@ -142,6 +188,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--showcase", action="store_true",
+                   help="build a 2x2 mosaic showcase video from the first 4 "
+                        "clips in --source (a directory of videos)")
     args = p.parse_args(argv)
 
     classes = PALETTES[args.dataset]
@@ -149,7 +198,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     args.dtype)
 
     src = args.source
-    if src.is_dir():
+    if args.showcase:
+        clips = ([f for f in sorted(src.iterdir())
+                  if f.suffix.lower() in VIDEO_EXTS] if src.is_dir() else [src])
+        infer_showcase(seg, classes, clips, args.out_dir, args.alpha)
+    elif src.is_dir():
         for f in sorted(src.iterdir()):
             if f.suffix.lower() in IMAGE_EXTS:
                 infer_image(seg, classes, f, args.out_dir, args.alpha)
