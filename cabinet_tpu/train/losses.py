@@ -59,35 +59,73 @@ def ohem_cross_entropy(
     thresh: float = 0.7,
     ignore_label: int = DEFAULT_IGNORE_LABEL,
     class_weights: Optional[jnp.ndarray] = None,
+    method: str = "topk",
 ) -> jnp.ndarray:
     """Online-hard-example-mining CE over NHWC logits (B,H,W,C) / labels (B,H,W).
 
     `n_min` must be a static Python int (caller computes
     batch*crop_h*crop_w // OHEM_DIVISOR, reference train.py:330).
+
+    method:
+      - "topk": exact, via jax.lax.top_k (full sort under the hood — slow on
+        TPU for the production n_min of ~5e5 over ~8e6 pixels),
+      - "bisect": O(N)-pass value-domain quantile search. The selected MEAN
+        is exact up to the bisection interval (~max_loss * 2^-40, below f32
+        resolution after 40 halvings): mean-of-top-k only needs the sum of
+        losses above the k-th value plus the tie mass AT that value, both of
+        which masked reductions provide without materializing any ordering.
+        This is the trainer's default (train/trainer.py).
     """
     loss, valid = _per_pixel_ce(logits, labels, ignore_label, class_weights)
     flat = jnp.where(valid.reshape(-1), loss.reshape(-1), _NEG_INF)
     n_valid = jnp.sum(valid)
-
     n_min = int(min(max(n_min, 1), flat.shape[0]))
-    top = jax.lax.top_k(flat, n_min)[0]  # descending, -inf beyond n_valid
-
-    top_is_valid = top > _NEG_INF
-    n_top = jnp.minimum(n_valid, n_min)  # == count of valid entries in top
-    # n_min-th largest valid loss, clamped to n_valid (reference loss.py:71-74).
-    kth = jnp.min(jnp.where(top_is_valid, top, jnp.inf))
+    n_top = jnp.minimum(n_valid, n_min)  # clamp (reference loss.py:71-74)
 
     # Candidate A: mean of all valid losses above thresh.
-    above = (flat > thresh) & (flat > _NEG_INF)
+    above = flat > thresh  # -inf entries are never above
     sum_above = jnp.sum(jnp.where(above, flat, 0.0))
     cnt_above = jnp.sum(above)
     mean_above = sum_above / jnp.maximum(cnt_above, 1)
 
-    # Candidate B: mean of the top-n_min valid losses.
-    sum_top = jnp.sum(jnp.where(top_is_valid, top, 0.0))
-    mean_top = sum_top / jnp.maximum(n_top, 1)
+    if method == "topk":
+        top = jax.lax.top_k(flat, n_min)[0]  # descending, -inf beyond n_valid
+        top_is_valid = top > _NEG_INF
+        # n_min-th largest valid loss (clamped to n_valid).
+        kth = jnp.min(jnp.where(top_is_valid, top, jnp.inf))
+        sum_top = jnp.sum(jnp.where(top_is_valid, top, 0.0))
+        mean_top = sum_top / jnp.maximum(n_top, 1)
+        kth_above_thresh = kth > thresh
+    elif method == "bisect":
+        vals = jnp.where(flat > _NEG_INF, flat, 0.0)
+        hi0 = jnp.max(vals) + 1.0
+        lo0 = jnp.zeros((), jnp.float32)  # CE >= 0
 
-    picked = jnp.where(kth > thresh, mean_above, mean_top)
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum(flat > mid)
+            # keep count(flat > lo) >= n_top >= count(flat > hi)
+            return jnp.where(cnt >= n_top, mid, lo), jnp.where(cnt >= n_top, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 40, body, (lo0, hi0))
+        # stop_gradient: the cut value is built arithmetically from
+        # max(vals), which would otherwise leak a spurious gradient onto
+        # the argmax element through the tie-fill term below.
+        lo = jax.lax.stop_gradient(lo)
+        hi = jax.lax.stop_gradient(hi)
+        kth = lo  # count(flat > lo) >= n_top, interval width ~2^-40 * max
+        strictly = flat > hi
+        sum_strict = jnp.sum(jnp.where(strictly, flat, 0.0))
+        cnt_strict = jnp.sum(strictly)
+        # fill the remainder with the (tied) cut value
+        sum_top = sum_strict + (n_top - cnt_strict) * kth
+        mean_top = sum_top / jnp.maximum(n_top, 1)
+        kth_above_thresh = kth > thresh
+    else:
+        raise ValueError(f"Unknown OHEM method: {method}")
+
+    picked = jnp.where(kth_above_thresh, mean_above, mean_top)
     return jnp.where(n_valid > 0, picked, 0.0)
 
 

@@ -85,6 +85,7 @@ def make_train_step(
     compute_dtype: Any = jnp.float32,
     loss_type: str = "ohem",
     aux_weight: float = 1.0,
+    ohem_method: str = "bisect",
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
     """Build the jitted train step. `apply_fn(variables, x, train, mutable)`
     must return ((final, aux), {"batch_stats": ...}).
@@ -97,8 +98,10 @@ def make_train_step(
 
     def seg_loss(logits, labels):
         if loss_type == "ohem":
+            # bisect method: O(N) quantile search instead of a full top_k
+            # sort over ~8e6 pixels (identical value+grad, see losses.py)
             return ohem_cross_entropy(logits, labels, n_min, thresh,
-                                      ignore_label, cw)
+                                      ignore_label, cw, method=ohem_method)
         from cabinet_tpu.train.losses import cross_entropy_mean
 
         return cross_entropy_mean(logits, labels, ignore_label, cw)
@@ -192,7 +195,9 @@ def make_eval_loss_step(
     def eval_loss(variables, images, labels):
         final, aux = apply_fn(variables, images.astype(compute_dtype),
                               train=False)
-        return (ohem_cross_entropy(final, labels, n_min, thresh, ignore_label, cw)
-                + ohem_cross_entropy(aux, labels, n_min, thresh, ignore_label, cw))
+        return (ohem_cross_entropy(final, labels, n_min, thresh, ignore_label,
+                                   cw, method="bisect")
+                + ohem_cross_entropy(aux, labels, n_min, thresh, ignore_label,
+                                     cw, method="bisect"))
 
     return eval_loss

@@ -51,8 +51,10 @@ def setup(accum_steps=1, lr=0.1, n_min=None, batch_hw=(2, 8, 8),
     B, H, W = batch_hw
     if n_min is None:
         n_min = B * H * W  # thresh large + n_min=all => plain masked mean
+    # exact top_k selection so the accumulation-equivalence contract is
+    # bit-tight (bisect's boundary handling differs by O(1/N) at the cut)
     step = make_train_step(model.apply, tx, n_min=n_min, thresh=1e9,
-                           accum_steps=accum_steps)
+                           accum_steps=accum_steps, ohem_method="topk")
     return model, tx, state, step
 
 

@@ -129,3 +129,30 @@ def test_cross_entropy_mean_against_torch():
                            torch.from_numpy(labels), ignore_index=255).item()
     got = float(cross_entropy_mean(jnp.asarray(logits), jnp.asarray(labels)))
     np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+@pytest.mark.parametrize("seed,n_min,thresh", [(0, 10, 0.7), (1, 500, 0.7),
+                                               (2, 64, 3.0), (3, 1, 0.01)])
+def test_ohem_bisect_matches_topk(seed, n_min, thresh):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(2, 16, 16, 5)).astype(np.float32) * 3
+    labels = rng.integers(0, 5, (2, 16, 16)).astype(np.int32)
+    labels[0, :4, :4] = 255
+    a = float(ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                 n_min=n_min, thresh=thresh, method="topk"))
+    b = float(ohem_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                 n_min=n_min, thresh=thresh, method="bisect"))
+    np.testing.assert_allclose(b, a, rtol=1e-5)
+
+
+def test_ohem_bisect_gradients_match_topk():
+    import jax
+
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, (1, 8, 8)).astype(np.int32))
+    ga = jax.grad(lambda lg: ohem_cross_entropy(lg, labels, n_min=8,
+                                                method="topk"))(logits)
+    gb = jax.grad(lambda lg: ohem_cross_entropy(lg, labels, n_min=8,
+                                                method="bisect"))(logits)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-5)
