@@ -20,14 +20,22 @@ import numpy as np
 def confusion_matrix(pred: jnp.ndarray, label: jnp.ndarray, n_classes: int,
                      ignore_label: int = 255) -> jnp.ndarray:
     """(C, C) histogram, rows = pred, cols = label (reference compute_hist
-    indexing: intersection = pred * C + label, evaluate.py:184-190)."""
-    valid = label != ignore_label
-    p = jnp.clip(pred, 0, n_classes - 1).astype(jnp.int32)
-    l = jnp.clip(label, 0, n_classes - 1).astype(jnp.int32)
-    idx = jnp.where(valid.reshape(-1), (p * n_classes + l).reshape(-1),
-                    n_classes * n_classes)
-    counts = jnp.bincount(idx, length=n_classes * n_classes + 1)
-    return counts[:-1].reshape(n_classes, n_classes)
+    indexing: intersection = pred * C + label, evaluate.py:184-190).
+
+    Computed as one_hot(pred)^T @ one_hot(label) with the ignore mask folded
+    into the pred side — an MXU matmul instead of bincount's scatter path
+    (scatters/gathers are the slow ops on TPU)."""
+    import jax
+
+    valid = (label != ignore_label).reshape(-1)
+    p = jnp.clip(pred, 0, n_classes - 1).astype(jnp.int32).reshape(-1)
+    l = jnp.clip(label, 0, n_classes - 1).astype(jnp.int32).reshape(-1)
+    oh_p = jax.nn.one_hot(p, n_classes, dtype=jnp.float32) * valid[:, None]
+    oh_l = jax.nn.one_hot(l, n_classes, dtype=jnp.float32)
+    hist = jax.lax.dot_general(oh_p, oh_l,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return hist.astype(jnp.int32)
 
 
 def metrics_from_hist(hist: np.ndarray) -> Dict[str, object]:
