@@ -55,7 +55,7 @@ def main() -> None:
         return min(ts)
 
     best, best_batch = 0.0, 0
-    for batch in (64, 96):
+    for batch in (96, 128):
         x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, 3)),
                         dtype)
         try:
