@@ -253,6 +253,15 @@ class MscEval:
         preds, hist = run(variables, jnp.asarray(images), jnp.asarray(labels))
         return np.asarray(preds), np.asarray(hist)
 
+    def hist_batch(self, variables: Any, images: np.ndarray,
+                   labels: np.ndarray) -> np.ndarray:
+        """Histogram only — skips the (large) predictions device->host copy
+        that the metric accumulation never needs."""
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        run = self._program(B, H, W)
+        _, hist = run(variables, jnp.asarray(images), jnp.asarray(labels))
+        return np.asarray(hist)
+
     def evaluate(self, variables: Any,
                  dataloader: Iterable[Tuple[np.ndarray, np.ndarray]],
                  progress: bool = False) -> Dict[str, Any]:
@@ -266,8 +275,7 @@ class MscEval:
             except ImportError:  # pragma: no cover
                 pass
         for images, labels in it:
-            _, h = self.evaluate_batch(variables, images, labels)
-            hist += h
+            hist += self.hist_batch(variables, images, labels)
         if jax.process_count() > 1:  # pragma: no cover - multi-host only
             hist = np.asarray(
                 jax.experimental.multihost_utils.process_allgather(hist)
