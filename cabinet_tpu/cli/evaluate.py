@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 from typing import Optional, Sequence
 
-import numpy as np
-
 from cabinet_tpu.cli import common
 from cabinet_tpu.core.exceptions import ConfigurationError
 from cabinet_tpu.core.logging import RichConsoleManager

@@ -13,7 +13,6 @@ final multi-scale eval. KeyboardInterrupt saves before exiting
 from __future__ import annotations
 
 import math
-import sys
 import time
 from pathlib import Path
 from typing import Optional, Sequence

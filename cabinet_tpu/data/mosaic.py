@@ -19,7 +19,7 @@ for ANY base dataset of (image HWC float, label HW int) samples:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import numpy as np
 

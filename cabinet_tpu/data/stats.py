@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Iterable, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

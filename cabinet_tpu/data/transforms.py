@@ -18,7 +18,7 @@ via cabinet_tpu.ops.photometric for pipelines that want XLA-fused augs.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter

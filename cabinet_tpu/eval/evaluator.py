@@ -25,8 +25,7 @@ TPU-first design:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Iterable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ replaces the reference's dist.reduce (evaluate.py:230-235).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
