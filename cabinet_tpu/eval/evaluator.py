@@ -66,11 +66,20 @@ def _chip_probs(apply_fn: ApplyFn, variables: Any, chip: jnp.ndarray,
     return jax.nn.softmax(logits, axis=-1)
 
 
+TILE_BATCH = 16  # tiles folded into one model forward (dataset batch x tiles)
+
+
 def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                    variables: Any, image: jnp.ndarray) -> jnp.ndarray:
     """Overlap-normalized probability map at the image's own resolution.
 
     `image` is NHWC with H,W static for this trace.
+
+    Tiles are BATCHED through the model (groups of up to TILE_BATCH // B per
+    forward): eval batch sizes are 1-2, and a batch-1 forward runs ~4x below
+    the chip's large-batch throughput, so folding the tile dimension into the
+    batch dimension recovers most of it. Extraction/accumulation stay as
+    dynamic slices over the static grid.
     """
     B, H, W, _ = image.shape
 
@@ -82,24 +91,29 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                                 (wst, full_w - W - wst), (0, 0)))
 
     grid = tile_grid(full_h, full_w, crop)
+    group = max(TILE_BATCH // B, 1)
 
-    prob0 = jnp.zeros((B, full_h, full_w, n_classes), jnp.float32)
-    count0 = jnp.zeros((full_h, full_w), jnp.float32)
+    prob = jnp.zeros((B, full_h, full_w, n_classes), jnp.float32)
+    count = jnp.zeros((full_h, full_w), jnp.float32)
     ones = jnp.ones((crop, crop), jnp.float32)
 
-    def body(carry, yx):
-        prob, count = carry
-        y, x = yx[0], yx[1]
-        chip = jax.lax.dynamic_slice(
-            image, (0, y, x, 0), (B, crop, crop, image.shape[-1]))
-        cp = _chip_probs(apply_fn, variables, chip, flip)
-        cur = jax.lax.dynamic_slice(prob, (0, y, x, 0), (B, crop, crop, n_classes))
-        prob = jax.lax.dynamic_update_slice(prob, cur + cp, (0, y, x, 0))
-        ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
-        count = jax.lax.dynamic_update_slice(count, ccur + ones, (y, x))
-        return (prob, count), None
+    for g0 in range(0, len(grid), group):
+        chunk = [tuple(yx) for yx in grid[g0:g0 + group]]
+        chips = jnp.concatenate([
+            jax.lax.dynamic_slice(image, (0, y, x, 0),
+                                  (B, crop, crop, image.shape[-1]))
+            for (y, x) in chunk
+        ], axis=0)  # (len(chunk)*B, crop, crop, C)
+        cps = _chip_probs(apply_fn, variables, chips, flip)
+        for i, (y, x) in enumerate(chunk):
+            cp = jax.lax.dynamic_slice(
+                cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
+            cur = jax.lax.dynamic_slice(prob, (0, y, x, 0),
+                                        (B, crop, crop, n_classes))
+            prob = jax.lax.dynamic_update_slice(prob, cur + cp, (0, y, x, 0))
+            ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
+            count = jax.lax.dynamic_update_slice(count, ccur + ones, (y, x))
 
-    (prob, count), _ = jax.lax.scan(body, (prob0, count0), jnp.asarray(grid))
     prob = prob / jnp.maximum(count, 1.0)[None, :, :, None]
 
     if (full_h, full_w) != (H, W):
@@ -245,11 +259,21 @@ class MscEval:
         self._progs[key] = run
         return run
 
+    def _to_device(self, images: np.ndarray) -> Any:
+        """Host-side cast to the compute dtype before transfer — halves the
+        host->device bytes for bf16 eval (labels stay int)."""
+        if self.compute_dtype == jnp.bfloat16 and hasattr(images, "astype"):
+            import ml_dtypes
+
+            images = np.asarray(images).astype(ml_dtypes.bfloat16)
+        return jnp.asarray(images)
+
     def evaluate_batch(self, variables: Any, images: np.ndarray,
                        labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         run = self._program(B, H, W)
-        preds, hist = run(variables, jnp.asarray(images), jnp.asarray(labels))
+        preds, hist = run(variables, self._to_device(images),
+                          jnp.asarray(labels))
         return np.asarray(preds), np.asarray(hist)
 
     def hist_batch(self, variables: Any, images: np.ndarray,
@@ -258,7 +282,7 @@ class MscEval:
         that the metric accumulation never needs."""
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         run = self._program(B, H, W)
-        _, hist = run(variables, jnp.asarray(images), jnp.asarray(labels))
+        _, hist = run(variables, self._to_device(images), jnp.asarray(labels))
         return np.asarray(hist)
 
     def evaluate(self, variables: Any,
