@@ -1,0 +1,54 @@
+"""Grain pipeline adapter tests (single-process; multiprocess workers are
+exercised in real training, not under pytest)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("grain")
+
+from cabinet_tpu.data.grain_loader import make_grain_loader
+
+
+class ToyDataset:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return (np.full((4, 4, 3), float(i), np.float32),
+                np.full((4, 4), i % 3, np.int64))
+
+
+def test_batches_and_shapes():
+    it = make_grain_loader(ToyDataset(10), batch_size=4, num_epochs=1,
+                           shard_by_process=False)
+    batches = list(it)
+    assert len(batches) == 2  # drop_remainder
+    imgs, lbls = batches[0]
+    assert imgs.shape == (4, 4, 4, 3) and imgs.dtype == np.float32
+    assert lbls.shape == (4, 4, 4) and lbls.dtype == np.int64
+
+
+def test_shuffle_deterministic_by_seed():
+    def order(seed):
+        it = make_grain_loader(ToyDataset(12), batch_size=12, shuffle=True,
+                               num_epochs=1, seed=seed,
+                               shard_by_process=False)
+        (imgs, _), = list(it)
+        return imgs[:, 0, 0, 0].astype(int).tolist()
+
+    a, b, c = order(1), order(1), order(2)
+    assert a == b
+    assert a != c
+    assert sorted(a) == list(range(12))
+
+
+def test_covers_all_samples():
+    it = make_grain_loader(ToyDataset(8), batch_size=2, num_epochs=1,
+                           shard_by_process=False)
+    seen = []
+    for imgs, _ in it:
+        seen.extend(imgs[:, 0, 0, 0].astype(int).tolist())
+    assert sorted(seen) == list(range(8))
