@@ -53,6 +53,7 @@ def build_model(cfg: Config, n_classes: int):
         mode=cfg.model.mode,
         cfgs=cfgs,
         use_pallas=bool(cfg.select("runtime.use_pallas", False)),
+        remat=bool(cfg.select("runtime.remat", False)),
         dtype=compute_dtype_of(cfg),
     )
 

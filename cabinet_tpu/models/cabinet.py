@@ -146,6 +146,7 @@ class CABiNet(nn.Module):
     mode: str = "large"
     cfgs: Optional[Sequence[Sequence[float]]] = None
     use_pallas: bool = False
+    remat: bool = False  # rematerialize backbone blocks (bigger train batches)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -160,7 +161,8 @@ class CABiNet(nn.Module):
 
         feat_sb = SpatialBranch(dtype=self.dtype, name="sb")(x, train)
         mobile_feat = MobileNetV3(cfgs=tuple(map(tuple, cfgs)), mode=self.mode,
-                                  dtype=self.dtype, name="mobile")(x, train)
+                                  dtype=self.dtype, remat=self.remat,
+                                  name="mobile")(x, train)
 
         low_res, aux = AttentionBranch(
             interplanes=256, outplanes=256, num_classes=self.n_classes,
@@ -183,8 +185,8 @@ class CABiNet(nn.Module):
 
 def build_cabinet(n_classes: int, mode: str = "large",
                   cfgs: Optional[Sequence[Sequence[float]]] = None,
-                  use_pallas: bool = False,
+                  use_pallas: bool = False, remat: bool = False,
                   dtype: Dtype = jnp.float32) -> CABiNet:
     """Factory mirroring the reference constructor surface (cabinet.py:175-205)."""
     return CABiNet(n_classes=n_classes, mode=mode, cfgs=cfgs,
-                   use_pallas=use_pallas, dtype=dtype)
+                   use_pallas=use_pallas, remat=remat, dtype=dtype)

@@ -148,6 +148,9 @@ class MobileNetV3(nn.Module):
     mode: str = "large"
     width_mult: float = 1.0
     dtype: Dtype = jnp.float32
+    # Rematerialize each inverted-residual block in backward (jax.checkpoint):
+    # trades recompute for activation memory, raising the max train batch.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -159,11 +162,13 @@ class MobileNetV3(nn.Module):
         x = batch_norm(self.dtype, "stem_bn")(x, use_running_average=not train)
         x = hard_swish(x)
 
+        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                     if self.remat else InvertedResidual)
         exp_size = input_channel
         for i, (k, t, c, use_se, use_hs, s) in enumerate(self.cfgs):
             output_channel = make_divisible(c * self.width_mult, 8)
             exp_size = make_divisible(input_channel * t, 8)
-            x = InvertedResidual(
+            x = block_cls(
                 hidden_dim=exp_size,
                 out_features=output_channel,
                 kernel=int(k),
