@@ -11,9 +11,11 @@ Protocol parity with the reference engine (src/scripts/evaluate.py:32-251):
     confusion-matrix accumulation with ignore handling.
 
 TPU-first design:
-  - the tile loop is a `lax.scan` over a PRECOMPUTED static tile grid with
-    dynamic_slice/dynamic_update_slice, so one program serves every tile and
-    XLA pipelines the model over the grid,
+  - tiles from the PRECOMPUTED static grid are BATCHED through the model
+    (TILE_BATCH at a time) — eval batches are 1-2 and batch-1 forwards run
+    ~4x under the chip's large-batch throughput; extraction/accumulation are
+    dynamic slices (the tile-sharded multi-chip variant keeps a lax.scan
+    per device),
   - the confusion matrix is computed on device (eval/metrics.py) — only a
     (C,C) int32 crosses to the host per batch,
   - programs are cached per (batch, H, W, scale) shape bucket; variable-

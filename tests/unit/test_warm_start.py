@@ -58,3 +58,17 @@ def test_warm_start_partial_tree():
     np.testing.assert_array_equal(
         np.asarray(merged["params"]["ab"]["conva"]["kernel"]),
         np.asarray(target["params"]["ab"]["conva"]["kernel"]))
+
+
+def test_remat_same_params_and_outputs():
+    """remat=True reuses the exact same parameter tree and reproduces the
+    non-remat forward bit-for-bit (it only changes backward memory)."""
+    a = CABiNet(n_classes=8, mode="small", cfgs=CFGS, remat=False)
+    b = CABiNet(n_classes=8, mode="small", cfgs=CFGS, remat=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    va = a.init(jax.random.PRNGKey(0), x, train=False)
+    vb = b.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb))
+    oa, _ = a.apply(va, x, train=False)
+    ob, _ = b.apply(va, x, train=False)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
