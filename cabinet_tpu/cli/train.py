@@ -171,6 +171,23 @@ def train_and_evaluate(cfg) -> dict:
         return (jax.device_put(imgs, batch_sharding(mesh, 4)),
                 jax.device_put(lbs, batch_sharding(mesh, 3)))
 
+    # XLA-fused photometric augmentation (runtime.device_augs=true): the
+    # dataset delivered geometric-only [0,1] crops; HSV/contrast/gamma/
+    # noise/cutout/mixup + normalization run jitted on device per batch.
+    device_augs = getattr(ds_train, "photometric", "host") == "device"
+    if device_augs:
+        from cabinet_tpu.ops.photometric import photometric_pipeline
+
+        aug_cfg = dict(ds_train.aug)
+        mean, std = ds_train.MEAN, ds_train.STD
+
+        @jax.jit
+        def apply_device_augs(images, labels, key):
+            return photometric_pipeline(images, labels, key, aug_cfg,
+                                        mean=mean, std=std)
+
+        aug_key = jax.random.PRNGKey(cfg.runtime.seed + 1)
+
     results = {"best_miou": best_miou}
     try:
         for epoch in range(start_epoch, int(tc.epochs)):
@@ -179,6 +196,9 @@ def train_and_evaluate(cfg) -> dict:
             losses = []
             for i, batch in enumerate(dl_train):
                 imgs, lbs = put(batch)
+                if device_augs:
+                    step_key = jax.random.fold_in(aug_key, int(state.step))
+                    imgs, lbs = apply_device_augs(imgs, lbs, step_key)
                 state, loss = train_step(state, imgs, lbs)
                 if (i + 1) % int(tc.log_iter) == 0:
                     losses.append(float(loss))

@@ -77,7 +77,13 @@ class FolderSegDataset:
         mode: str = "train",
         augmentation: Optional[Dict[str, Any]] = None,
         seed: int = 15,
+        photometric: str = "host",
     ) -> None:
+        """photometric: "host" applies the full recipe here (PIL, exact
+        reference semantics); "device" keeps only the geometric ops on the
+        host and returns UN-normalized [0,1] images — the trainer then runs
+        ops/photometric.photometric_pipeline (HSV/contrast/gamma/noise/
+        cutout/mixup + normalize) fused under jit on the TPU."""
         if mode not in ("train", "val", "test"):
             raise ValueError(f"Mode '{mode}' not supported. "
                              "Choose 'train', 'val', or 'test'.")
@@ -93,6 +99,9 @@ class FolderSegDataset:
         self.aug = {**DEFAULT_AUGMENTATION, **(augmentation or {})}
         self.seed = seed
         self.epoch = 0
+        if photometric not in ("host", "device"):
+            raise ValueError(f"photometric must be host|device, got {photometric}")
+        self.photometric = photometric
 
         img_dir = osp.join(rootpth, "images", mode)
         mask_dir = osp.join(rootpth, "masks", mode)
@@ -122,13 +131,14 @@ class FolderSegDataset:
             )
 
         self.trans_train = self._build_train_transforms() if mode == "train" else None
-        self.mixup_p = float(self.aug["mixup"]) if mode == "train" else 0.0
+        self.mixup_p = (float(self.aug["mixup"])
+                        if mode == "train" and photometric == "host" else 0.0)
 
     # -------------------------------------------------------------------
     def _build_train_transforms(self) -> T.Compose:
         degrees = float(self.aug["degrees"])
         scale = float(self.aug["scale"])
-        return T.Compose([
+        geometric = [
             T.ResizeIfLarger(max_size=2 * max(self.cropsize)),
             T.RandomHorizontalFlip(p=float(self.aug["fliplr"])),
             T.RandomVerticalFlip(p=float(self.aug["flipud"])),
@@ -139,6 +149,10 @@ class FolderSegDataset:
             T.RandomScale((1.0 - scale, 1.0 + scale), continuous=True),
             T.RandomCrop(size=self.cropsize, pad_if_needed=True,
                          ignore_label=self.ignore_lb),
+        ]
+        if self.photometric == "device":
+            return T.Compose(geometric)
+        return T.Compose(geometric + [
             T.RandomHSV(hgain=float(self.aug["hsv_h"]),
                         sgain=float(self.aug["hsv_s"]),
                         vgain=float(self.aug["hsv_v"])),
@@ -157,6 +171,8 @@ class FolderSegDataset:
 
     def _normalize(self, img: Image.Image) -> Array:
         arr = np.asarray(img, dtype=np.float32) / 255.0
+        if self.mode == "train" and self.photometric == "device":
+            return arr  # raw [0,1]; the device pipeline normalizes
         mean = np.asarray(self.MEAN, dtype=np.float32)
         std = np.asarray(self.STD, dtype=np.float32)
         return (arr - mean) / std
@@ -257,6 +273,7 @@ class CityScapes(FolderSegDataset):
         self.epoch = 0
         self.aug = {}
         self.mixup_p = 0.0
+        self.photometric = "host"  # Cityscapes keeps the full host recipe
 
         classes = (load_labels_info(config_file) if config_file
                    else CITYSCAPES_CLASSES)
@@ -319,6 +336,7 @@ DATASET_REGISTRY: Dict[str, type] = {
 
 def _aerial_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
     d = cfg.dataset
+    device_augs = bool(cfg.select("runtime.device_augs", False))
     return {
         "ignore_lb": d.ignore_idx,
         "rootpth": d.dataset_path,
@@ -327,6 +345,7 @@ def _aerial_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
         "augmentation": d.get("augmentation").to_dict()
         if d.get("augmentation") is not None else None,
         "seed": d.get("seed", 15),
+        "photometric": "device" if (device_augs and mode == "train") else "host",
     }
 
 

@@ -133,3 +133,18 @@ def test_yolo_train_cli_end_to_end(tiny_run):
         "mode=val", f"weights={yexp / 'final'}"])
     vres = validate(val_cfg)
     assert 0.0 <= vres["mIoU"] <= 1.0
+
+
+def test_train_cli_with_device_augs(tiny_run):
+    """runtime.device_augs=true: geometric-only host pipeline + XLA-fused
+    photometric/mixup/normalize on device; training runs end to end."""
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides + [
+        "runtime.device_augs=true",
+        f"training_config.experiments_path={exp.parent / 'exp_dev_augs'}",
+        "training_config.epochs=1",
+    ])
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
