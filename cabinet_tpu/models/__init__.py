@@ -12,6 +12,7 @@ from cabinet_tpu.models.cabinet import (
     SpatialBranch,
     build_cabinet,
 )
+from cabinet_tpu.models.fused import fused_early_supported, make_fused_apply
 from cabinet_tpu.models.layers import (
     ConvBNReLU,
     DepthwiseConv,
@@ -47,7 +48,9 @@ __all__ = [
     "SELayer",
     "SpatialBranch",
     "build_cabinet",
+    "fused_early_supported",
     "hard_sigmoid",
     "hard_swish",
     "make_divisible",
+    "make_fused_apply",
 ]

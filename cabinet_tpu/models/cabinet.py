@@ -149,34 +149,48 @@ class CABiNet(nn.Module):
     remat: bool = False  # rematerialize backbone blocks (bigger train batches)
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def setup(self) -> None:
         config = MODEL_CONFIG.get(self.mode)
         if config is None:
             raise ValueError(f"Invalid mode: {self.mode}. Must be 'large' or 'small'")
 
-        H, W = x.shape[1:3]
         cfgs = self.cfgs if self.cfgs is not None else default_cfgs(self.mode)
-
-        feat_sb = SpatialBranch(dtype=self.dtype, name="sb")(x, train)
-        mobile_feat = MobileNetV3(cfgs=tuple(map(tuple, cfgs)), mode=self.mode,
-                                  dtype=self.dtype, remat=self.remat,
-                                  name="mobile")(x, train)
-
-        low_res, aux = AttentionBranch(
+        self.sb = SpatialBranch(dtype=self.dtype)
+        self.mobile = MobileNetV3(cfgs=tuple(map(tuple, cfgs)), mode=self.mode,
+                                  dtype=self.dtype, remat=self.remat)
+        self.ab = AttentionBranch(
             interplanes=256, outplanes=256, num_classes=self.n_classes,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="ab",
-        )(mobile_feat, train)
+            use_pallas=self.use_pallas, dtype=self.dtype,
+        )
+        self.ffm = FeatureFusionModule(256, dtype=self.dtype)
+        self.conv_out = CABiNetOutput(256, self.n_classes, dtype=self.dtype)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mobile_feat = self.mobile(x, train)
+        return self._decode(x, mobile_feat, train)
+
+    def forward_from_early(self, x: jnp.ndarray, early: jnp.ndarray,
+                           train: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward with a precomputed stem+block_0 output `early`
+        (B,H/2,W/2,16) — the seam for the fused Pallas early-stage kernel
+        (ops/early_stage.py). Same parameters as `__call__`."""
+        mobile_feat = self.mobile.tail(early, train)
+        return self._decode(x, mobile_feat, train)
+
+    def _decode(self, x: jnp.ndarray, mobile_feat: jnp.ndarray, train: bool
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        H, W = x.shape[1:3]
+        feat_sb = self.sb(x, train)
+        low_res, aux = self.ab(mobile_feat, train)
 
         sb_hw = feat_sb.shape[1:3]
         low_res_up = resize_bilinear(low_res, sb_hw)
         aux_up = resize_bilinear(aux, sb_hw)
 
-        feat_fuse = FeatureFusionModule(256, dtype=self.dtype, name="ffm")(
-            feat_sb, low_res_up, train)
-        final = CABiNetOutput(256, self.n_classes, dtype=self.dtype,
-                              name="conv_out")(feat_fuse, train)
+        feat_fuse = self.ffm(feat_sb, low_res_up, train)
+        final = self.conv_out(feat_fuse, train)
 
         final = resize_bilinear(final, (H, W))
         aux_full = resize_bilinear(aux_up, (H, W))

@@ -52,8 +52,11 @@ def _pair(v: Union[int, Sequence[int]]) -> Tuple[int, int]:
     return (int(a), int(b))
 
 
-def batch_norm(dtype: Dtype, name: str = "bn") -> nn.BatchNorm:
-    """BatchNorm with torch-compatible numerics, stats in `batch_stats`."""
+def batch_norm(dtype: Dtype, name: Optional[str] = "bn") -> nn.BatchNorm:
+    """BatchNorm with torch-compatible numerics, stats in `batch_stats`.
+
+    `name=None` (for setup()-style callers) lets Flax derive the name from
+    the attribute it is assigned to."""
     return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
 
 
@@ -63,8 +66,9 @@ class DepthwiseConv2D(nn.Module):
     Parameter layout matches nn.Conv's depthwise kernel (kH, kW, 1, C), so
     converted checkpoints are unaffected by the implementation choice.
 
-    Implementation notes (measured on v5e, bf16): the isolated shift-FMA
-    form (ops/depthwise.py) beats XLA's feature_group_count lowering 2.5x
+    Implementation notes (measured on v5e, bf16): an isolated shift-FMA
+    form (9 shifted adds instead of a conv; since removed from the tree)
+    beats XLA's feature_group_count lowering 2.5x
     in a microbenchmark, but IN CONTEXT it regressed the full model 2x —
     XLA fuses the 9 shifted reads into downstream consumers and re-reads
     the padded input from HBM 9 times. The native conv lowering keeps one

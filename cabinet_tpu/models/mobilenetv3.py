@@ -71,7 +71,8 @@ def default_cfgs(mode: str) -> List[List[float]]:
     raise ValueError(f"mode must be 'large' or 'small', got '{mode}'")
 
 
-def _conv(features: int, kernel: int, stride: int, dtype: Dtype, name: str) -> nn.Conv:
+def _conv(features: int, kernel: int, stride: int, dtype: Dtype,
+          name: str = None) -> nn.Conv:
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -142,7 +143,15 @@ class InvertedResidual(nn.Module):
 
 
 class MobileNetV3(nn.Module):
-    """MobileNetV3 trunk. Input NHWC (B,H,W,3); output (B,h,w,960|576)."""
+    """MobileNetV3 trunk. Input NHWC (B,H,W,3); output (B,h,w,960|576).
+
+    setup()-style so the trunk exposes two entry points over the SAME
+    parameters: `__call__` (full forward) and `tail` (from block_1 onward,
+    consumed by the fused Pallas stem+block_0 inference path,
+    cabinet_tpu/ops/early_stage.py). Attribute names keep the historical
+    param tree (stem, stem_bn, block_0.., head, head_bn) so converted
+    checkpoints are unaffected.
+    """
 
     cfgs: Sequence[Sequence[float]]
     mode: str = "large"
@@ -152,23 +161,22 @@ class MobileNetV3(nn.Module):
     # trades recompute for activation memory, raising the max train batch.
     remat: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def setup(self) -> None:
         if self.mode not in ("large", "small"):
             raise ValueError(f"mode must be 'large' or 'small', got '{self.mode}'")
 
         input_channel = make_divisible(16 * self.width_mult, 8)
-        x = _conv(input_channel, 3, 2, self.dtype, "stem")(x)
-        x = batch_norm(self.dtype, "stem_bn")(x, use_running_average=not train)
-        x = hard_swish(x)
+        self.stem = _conv(input_channel, 3, 2, self.dtype)
+        self.stem_bn = batch_norm(self.dtype, name=None)
 
         block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
                      if self.remat else InvertedResidual)
         exp_size = input_channel
-        for i, (k, t, c, use_se, use_hs, s) in enumerate(self.cfgs):
+        blocks = []
+        for k, t, c, use_se, use_hs, s in self.cfgs:
             output_channel = make_divisible(c * self.width_mult, 8)
             exp_size = make_divisible(input_channel * t, 8)
-            x = block_cls(
+            blocks.append(block_cls(
                 hidden_dim=exp_size,
                 out_features=output_channel,
                 kernel=int(k),
@@ -176,11 +184,30 @@ class MobileNetV3(nn.Module):
                 use_se=bool(use_se),
                 use_hs=bool(use_hs),
                 dtype=self.dtype,
-                name=f"block_{i}",
-            )(x, train)
+            ))
             input_channel = output_channel
+        self.block = blocks  # named block_0, block_1, ... by Flax
 
-        x = nn.Conv(exp_size, (1, 1), use_bias=False, dtype=self.dtype,
-                    kernel_init=mobilenet_conv_init, name="head")(x)
-        x = batch_norm(self.dtype, "head_bn")(x, use_running_average=not train)
+        self.head = nn.Conv(exp_size, (1, 1), use_bias=False, dtype=self.dtype,
+                            kernel_init=mobilenet_conv_init)
+        self.head_bn = batch_norm(self.dtype, name=None)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = self.stem(x)
+        x = self.stem_bn(x, use_running_average=not train)
+        x = hard_swish(x)
+        x = self.block[0](x, train)
+        return self.tail(x, train)
+
+    def tail(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """Forward from block_1 on, given block_0's output (B,H/2,W/2,16).
+
+        Entry point for the fused stem+block_0 Pallas kernel: the kernel
+        computes the first subgraph, this method runs the rest with the
+        same parameters as the standard path.
+        """
+        for blk in self.block[1:]:
+            x = blk(x, train)
+        x = self.head(x)
+        x = self.head_bn(x, use_running_average=not train)
         return hard_swish(x)

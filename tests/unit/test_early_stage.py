@@ -53,6 +53,80 @@ def test_fused_kernel_matches_xla_reference(H, W, monkeypatch):
                                rtol=1e-3)
 
 
+def test_fused_apply_end_to_end_parity():
+    """make_fused_apply (Pallas early stage, interpret mode) matches the
+    standard CABiNet apply at the logit level over the same params."""
+    from cabinet_tpu.models import CABiNet, make_fused_apply
+    from cabinet_tpu.models.mobilenetv3 import MOBILENETV3_LARGE_CFGS
+
+    rng = np.random.default_rng(3)
+    model = CABiNet(n_classes=6, mode="large",
+                    cfgs=tuple(map(tuple, MOBILENETV3_LARGE_CFGS[:4])))
+    # bf16-quantize the input up front: the kernel packs to bf16 internally,
+    # so this makes both paths consume identical values.
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)).astype(np.float32))
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial batch stats so BN folding is exercised
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) ** 2 + 0.5, a.dtype),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    want_final, want_aux = model.apply(variables, x, train=False)
+    forward = make_fused_apply(model, variables, interpret=True)
+    got_final, got_aux = forward(x)
+
+    np.testing.assert_allclose(np.asarray(got_final), np.asarray(want_final),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_aux), np.asarray(want_aux),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_fused_apply_rejects_unsupported():
+    """Small-mode block_0 (SE, stride 2) and non-band-aligned shapes fall
+    back with a clear error instead of silently wrong numerics."""
+    from cabinet_tpu.models import CABiNet, fused_early_supported, make_fused_apply
+    from cabinet_tpu.models.mobilenetv3 import MOBILENETV3_SMALL_CFGS
+
+    model = CABiNet(n_classes=4, mode="small",
+                    cfgs=tuple(map(tuple, MOBILENETV3_SMALL_CFGS[:4])))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    with pytest.raises(ValueError, match="block_0"):
+        make_fused_apply(model, variables)
+
+    assert not fused_early_supported((1, 63, 64, 3))   # odd H
+    assert not fused_early_supported((1, 96, 64, 3))   # 48 rows, band 32
+    assert fused_early_supported((1, 1024, 1024, 3))
+
+
+def test_mobilenet_tail_matches_full_forward():
+    """mobile.tail(block_0(stem(x))) == mobile(x) — the seam the fused
+    kernel plugs into is numerically the identity split."""
+    from cabinet_tpu.models.mobilenetv3 import MOBILENETV3_LARGE_CFGS, MobileNetV3
+    from cabinet_tpu.models.layers import hard_swish
+
+    rng = np.random.default_rng(4)
+    model = MobileNetV3(cfgs=tuple(map(tuple, MOBILENETV3_LARGE_CFGS[:3])),
+                        mode="large")
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    full = model.apply(variables, x, train=False)
+
+    def split(mdl, x):
+        h = mdl.stem(x)
+        h = mdl.stem_bn(h, use_running_average=True)
+        h = hard_swish(h)
+        h = mdl.block[0](h, train=False)
+        return mdl.tail(h, train=False)
+
+    via_tail = model.apply(variables, x, method=split)
+    np.testing.assert_allclose(np.asarray(via_tail), np.asarray(full),
+                               atol=0, rtol=0)
+
+
 def test_fold_matches_unfused_model():
     """Folded weights through the XLA reference == the real model's first
     two stages (inference BN)."""

@@ -62,3 +62,39 @@ def test_nbs_accumulation_formula(nbs, batch, want):
     # accum = max(round(nbs / batch), 1) (reference train_yolo.py nbs
     # nominal-batch grad accumulation)
     assert max(round(nbs / batch), 1) == want
+
+
+def test_all_model_variant_configs_compose():
+    """All 17 variant files (5 yolo26-sem + 12 legacy seg families,
+    reference configs/yolo/model/) select via the model group."""
+    variants = sorted(p.stem for p in (CONFIG_DIR / "yolo" / "model").glob("*.yaml"))
+    assert len(variants) == 17
+    for v in variants:
+        cfg = compose(CONFIG_DIR, "train_yolo",
+                      overrides=[f"yolo/model@model={v}"])
+        assert cfg.model.model_name
+        assert cfg.model.run_name
+        legacy = v.endswith("-seg")
+        assert (cfg.model.model_name in SUPPORTED_MODELS) != legacy
+
+
+def test_ultralytics_native_interop_configs():
+    """configs/yolo/*_{train,val}.yaml drive stock `yolo semantic ...`
+    (reference configs/yolo/uavid_train.yaml surface)."""
+    import yaml
+
+    for ds, imgsz in (("uavid", 1024), ("vdd", 1024), ("aeroscapes", 896)):
+        train = yaml.safe_load((CONFIG_DIR / "yolo" / f"{ds}_train.yaml").read_text())
+        assert train["task"] == "semantic"
+        assert train["data"] == f"configs/dataset/{ds}_yolo.yaml"
+        assert train["nbs"] == 64 and train["cos_lr"] is True
+        assert train["imgsz"] == imgsz
+        assert train["close_mosaic"] == 15
+
+        val = yaml.safe_load((CONFIG_DIR / "yolo" / f"{ds}_val.yaml").read_text())
+        assert val["task"] == "semantic"
+        assert val["imgsz"] == imgsz
+        assert val["augment"] is False
+    # UAVid's mixed native resolutions force batch-1 full-res eval
+    uavid_val = yaml.safe_load((CONFIG_DIR / "yolo" / "uavid_val.yaml").read_text())
+    assert uavid_val["batch"] == 1
