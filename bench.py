@@ -1,7 +1,15 @@
-"""Benchmark: CABiNet-Large inference throughput at 1024x1024 on one chip.
+"""Benchmark: CABiNet-Large at 1024x1024 on one chip.
 
-Prints ONE JSON line:
+Default mode prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/500}
+
+Extra modes (one JSON line each, for NOTES/regression tracking):
+  python bench.py train [batch ...]   — jitted train step (dual OHEM + EMA +
+                                        clipping), optionally with remat
+  python bench.py train-remat [batch ...]
+  python bench.py latency             — batch-1 serving latency (ms/frame)
+  python bench.py infer-xla           — force the pure-XLA inference path
+  python bench.py infer-fused         — force the fused Pallas early stage
 
 Baseline: the BASELINE.json north star of >=500 img/s/chip on TPU v5e (the
 reference publishes no latency numbers at all — SURVEY §6).
@@ -9,71 +17,202 @@ reference publishes no latency numbers at all — SURVEY §6).
 Measurement: under the remote-tunnel runtime, block_until_ready returns
 before device execution finishes and D2H rides a slow relay, so wall-clock
 loops mis-measure. Instead we time a DEPENDENT on-device chain of K forwards
-(each iteration consumes the previous logits) ending in a scalar fetch, and
-difference out the fixed overhead: per_fwd = (t(K) - t(1)) / (K - 1).
+(each iteration consumes the previous output) ending in a scalar fetch, and
+difference out the fixed overhead: per_step = (t(K) - t(1)) / (K - 1).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_S = 500.0
 K = 9  # chain length (K-1 differenced iterations)
+H = W = 1024
 
 
-def main() -> None:
+def _build(dtype=None, remat=False, use_pallas=False):
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.models import CABiNet
+
+    dtype = dtype or jnp.bfloat16
+    model = CABiNet(n_classes=8, mode="large", dtype=dtype, remat=remat,
+                    use_pallas=use_pallas)
+    init_x = jnp.zeros((1, H, W, 3), dtype)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), init_x,
+                                           train=False))()
+    return model, variables
+
+
+def _min_time(f, n=2):
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
+    """Inference throughput. use_pallas selects the fused Pallas CAB
+    attention (measured 2.8% over the XLA einsum at batch 128: 0.951 vs
+    0.977 ms/img, interleaved A/B reps); `fused` selects the Pallas
+    early-stage kernel (wins only at batch <= 32, see NOTES.md)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    from cabinet_tpu.models import CABiNet
+    model, variables = _build(use_pallas=use_pallas)
+    if fused:
+        from cabinet_tpu.models import make_fused_apply
 
-    dtype = jnp.bfloat16
-    model = CABiNet(n_classes=8, mode="large", dtype=dtype, use_pallas=False)
+        forward = make_fused_apply(model, variables)
+    else:
+        def forward(img):
+            return model.apply(variables, img, train=False)
 
-    H = W = 1024
-    init_x = jnp.zeros((1, H, W, 3), dtype)
-    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), init_x,
-                                           train=False))()
-
-    @partial(jax.jit, static_argnums=(2,))
-    def chain(v, images, k):
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(images, k):
         def body(i, img):
-            logits, _ = model.apply(v, img, train=False)
+            logits, _ = forward(img)
             return logits[..., :3].astype(img.dtype)
 
         out = jax.lax.fori_loop(0, k, body, images)
         return jnp.sum(out.astype(jnp.float32))
 
-    def time_chain(x, k, n=2):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(chain(variables, x, k))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
     best, best_batch = 0.0, 0
     for batch in (96, 128):
         x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, 3)),
-                        dtype)
+                        jnp.bfloat16)
         try:
-            float(chain(variables, x, 1))
-            float(chain(variables, x, K))
+            float(chain(x, 1))
+            float(chain(x, K))
         except Exception:
             break  # OOM at this batch size
-        per_fwd = (time_chain(x, K) - time_chain(x, 1)) / (K - 1)
+        per_fwd = (_min_time(lambda: float(chain(x, K)))
+                   - _min_time(lambda: float(chain(x, 1)))) / (K - 1)
         ips = batch / per_fwd
         if ips > best:
             best, best_batch = ips, batch
 
-    print(json.dumps({
-        "metric": f"CABiNet-Large 1024x1024 bf16 inference (batch {best_batch})",
+    tag = "fused-early" if fused else ("XLA+pallas-attn" if use_pallas else "XLA")
+    return {
+        "metric": f"CABiNet-Large 1024x1024 bf16 inference ({tag}, batch {best_batch})",
         "value": round(best, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(best / BASELINE_IMG_S, 4),
-    }))
+    }
+
+
+def bench_train(batches, remat: bool) -> dict:
+    """Jitted train step throughput: dual OHEM + EMA + clipping, bf16 compute
+    (the reference hot loop, src/scripts/train.py:411-441)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.train.optimizer import build_optimizer
+    from cabinet_tpu.train.trainer import create_train_state, make_train_step
+
+    model, variables = _build(remat=remat)
+
+    results = {}
+    best, best_batch = 0.0, 0
+    for batch in batches:
+        tx = build_optimizer(variables["params"], lr0=5e-3, max_iter=1000,
+                             warmup_steps=10, max_grad_norm=1.0)
+        state = create_train_state(variables, tx)
+        step = make_train_step(model.apply, tx, n_min=batch * H * W // 16,
+                               compute_dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(batch, H, W, 3)), jnp.bfloat16)
+        y = jnp.asarray(rng.integers(0, 8, (batch, H, W)), jnp.int32)
+
+        def run(n, state=state):
+            # donation invalidates the incoming state; thread it through and
+            # fetch the final loss (dependent chain => real device time).
+            for _ in range(n):
+                state, loss = step(state, x, y)
+            return float(loss)
+
+        try:
+            state0 = jax.tree_util.tree_map(jnp.copy, state)
+            run(1, jax.tree_util.tree_map(jnp.copy, state0))  # compile
+        except Exception:
+            break  # OOM
+        t_k = _min_time(lambda: run(K, jax.tree_util.tree_map(jnp.copy, state0)))
+        t_1 = _min_time(lambda: run(1, jax.tree_util.tree_map(jnp.copy, state0)))
+        per_step = (t_k - t_1) / (K - 1)
+        ips = batch / per_step
+        results[batch] = round(ips, 2)
+        if ips > best:
+            best, best_batch = ips, batch
+
+    tag = "remat" if remat else "no-remat"
+    return {
+        "metric": (f"CABiNet-Large 1024x1024 bf16 train step ({tag}, "
+                   f"batch {best_batch}; all: {results})"),
+        "value": round(best, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best / BASELINE_IMG_S, 4),
+    }
+
+
+def bench_latency() -> dict:
+    """Batch-1 serving latency for the streaming-video path (BASELINE #5)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    model, variables = _build()
+
+    @partial(jax.jit, static_argnums=(1,))
+    def chain(images, k):
+        def body(i, img):
+            logits, _ = model.apply(variables, img, train=False)
+            return logits[..., :3].astype(img.dtype)
+
+        out = jax.lax.fori_loop(0, k, body, images)
+        return jnp.sum(out.astype(jnp.float32))
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, H, W, 3)),
+                    jnp.bfloat16)
+    float(chain(x, 1)), float(chain(x, K))
+    per = (_min_time(lambda: float(chain(x, K)))
+           - _min_time(lambda: float(chain(x, 1)))) / (K - 1)
+    return {
+        "metric": "CABiNet-Large 1024x1024 bf16 batch-1 latency",
+        "value": round(per * 1000, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round((1.0 / per) / BASELINE_IMG_S, 4),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mode = args[0] if args else "infer"
+    batches = tuple(int(a) for a in args[1:]) or (8, 16, 32)
+
+    if mode == "infer":
+        # Headline: XLA convs + fused Pallas CAB attention (the measured
+        # best at batch 128). The Pallas early-stage kernel wins only at
+        # batch <= 32 (serving regime) — see NOTES.md for the sweep.
+        out = bench_infer(fused=False, use_pallas=True)
+    elif mode == "infer-xla":
+        out = bench_infer(fused=False, use_pallas=False)
+    elif mode == "infer-fused":
+        out = bench_infer(fused=True, use_pallas=False)
+    elif mode == "train":
+        out = bench_train(batches, remat=False)
+    elif mode == "train-remat":
+        out = bench_train(batches, remat=True)
+    elif mode == "latency":
+        out = bench_latency()
+    else:
+        raise SystemExit(f"unknown bench mode: {mode}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

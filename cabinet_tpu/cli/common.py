@@ -102,3 +102,26 @@ def warm_start(variables: Any, checkpoint_path: str, cfgs) -> Any:
 
     loaded = load_any_checkpoint(checkpoint_path, variables)
     return merge_variables(variables, loaded, match_shapes=True)
+
+
+def eval_tile_mesh(cfg: Config, mesh: Any = None) -> Any:
+    """Mesh for tile-parallel eval (MscEval tile_mesh) when more than one
+    device sits on the data axis; runtime.tile_parallel_eval=false opts out."""
+    import jax
+
+    if not bool(cfg.select("runtime.tile_parallel_eval", True)):
+        return None
+    from cabinet_tpu.core.mesh import DATA_AXIS, make_mesh
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+        return mesh
+    return None
+
+
+def eval_pad_to(cfg: Config) -> Any:
+    """(H, W) eval resolution bucket (validation_config.eval_pad_to), or the
+    dataset's declared bucket (dataset.eval_pad_to), or None."""
+    return (cfg.select("validation_config.eval_pad_to", None)
+            or cfg.select("dataset.eval_pad_to", None))

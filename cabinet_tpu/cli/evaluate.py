@@ -50,7 +50,12 @@ def evaluate_checkpoint(cfg) -> dict:
                         ignore_label=cfg.dataset.ignore_idx,
                         scales=tuple(vc.eval_scales), flip=bool(vc.flip),
                         cropsize=crop,
-                        compute_dtype=common.compute_dtype_of(cfg))
+                        compute_dtype=common.compute_dtype_of(cfg),
+                        tile_mesh=common.eval_tile_mesh(cfg),
+                        # strict native-resolution protocol by default;
+                        # opt into bucketing with validation_config.eval_pad_to
+                        pad_to=cfg.select("validation_config.eval_pad_to",
+                                          None))
     return evaluator.evaluate(variables, dl, progress=True)
 
 

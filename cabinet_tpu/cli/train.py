@@ -164,7 +164,9 @@ def train_and_evaluate(cfg) -> dict:
     evaluator = MscEval(model.apply, n_classes,
                         ignore_label=cfg.dataset.ignore_idx,
                         scales=(1.0,), flip=False, cropsize=max(crop_h, crop_w),
-                        compute_dtype=common.compute_dtype_of(cfg))
+                        compute_dtype=common.compute_dtype_of(cfg),
+                        tile_mesh=common.eval_tile_mesh(cfg, mesh),
+                        pad_to=common.eval_pad_to(cfg))
 
     def put(batch):
         imgs, lbs = batch
@@ -244,7 +246,12 @@ def train_and_evaluate(cfg) -> dict:
                          ignore_label=cfg.dataset.ignore_idx,
                          scales=tuple(vc.eval_scales), flip=bool(vc.flip),
                          cropsize=max(crop_h, crop_w),
-                         compute_dtype=common.compute_dtype_of(cfg))
+                         compute_dtype=common.compute_dtype_of(cfg),
+                         tile_mesh=common.eval_tile_mesh(cfg, mesh),
+                         # strict native-resolution protocol for the final
+                         # (reported) number; buckets only if explicitly set
+                         pad_to=cfg.select("validation_config.eval_pad_to",
+                                           None))
     res = final_eval.evaluate(state.ema_variables, dl_val, progress=True)
     logger.info(f"Final multi-scale mIoU: {res['mIoU']:.4f} "
                 f"acc {res['accuracy']:.4f}")

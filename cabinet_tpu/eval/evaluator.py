@@ -222,6 +222,7 @@ class MscEval:
         cropsize: int = 1024,
         compute_dtype: Any = jnp.float32,
         tile_mesh: Any = None,
+        pad_to: Any = None,
     ) -> None:
         self.apply_fn = apply_fn
         self.n_classes = n_classes
@@ -233,7 +234,36 @@ class MscEval:
         # Optional jax Mesh: shard each image's TILE GRID over the data axis
         # (context-parallel eval of huge images; psum-ed accumulation).
         self.tile_mesh = tile_mesh
+        # Optional (H, W) resolution bucket: variable-resolution datasets
+        # (UAVid ships 3840x2160 AND 4096x2160) are right/bottom zero-padded
+        # to one canvas with ignore-filled labels, so ONE program compiles
+        # instead of one per native resolution (SURVEY §7.3; each 4Kx2K
+        # compile costs minutes). Padded pixels never enter the histogram.
+        # Protocol note: at downscales the bilinear kernel mixes pad zeros
+        # into a ~1px strip at the pad boundary — metrics match native eval
+        # to noise level, but not bit-exactly; leave unset for strict parity.
+        self.pad_to = None if pad_to is None else (int(pad_to[0]), int(pad_to[1]))
         self._progs: Dict[Tuple[int, int, int], Callable] = {}
+
+    def _pad_to_bucket(self, images: np.ndarray, labels: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
+        H, W = images.shape[1], images.shape[2]
+        if self.pad_to is None or (H, W) == self.pad_to:
+            return images, labels, (H, W)
+        bh, bw = self.pad_to
+        if H > bh or W > bw:
+            raise ValueError(
+                f"image {(H, W)} exceeds eval pad_to bucket {self.pad_to}")
+        if H * 2 < bh or W * 2 < bw:
+            # The bucket targets near-bucket resolutions (UAVid: 3840 vs
+            # 4096 wide). Padding a much smaller image (e.g. a test crop)
+            # into a 4K canvas would waste >4x compute — evaluate natively.
+            return images, labels, (H, W)
+        images = np.pad(np.asarray(images),
+                        ((0, 0), (0, bh - H), (0, bw - W), (0, 0)))
+        labels = np.pad(np.asarray(labels), ((0, 0), (0, bh - H), (0, bw - W)),
+                        constant_values=self.ignore_label)
+        return images, labels, (H, W)
 
     def _program(self, B: int, H: int, W: int) -> Callable:
         """Jitted (variables, images) -> (preds, per-batch hist)."""
@@ -272,16 +302,18 @@ class MscEval:
 
     def evaluate_batch(self, variables: Any, images: np.ndarray,
                        labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        images, labels, (H0, W0) = self._pad_to_bucket(images, labels)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         run = self._program(B, H, W)
         preds, hist = run(variables, self._to_device(images),
                           jnp.asarray(labels))
-        return np.asarray(preds), np.asarray(hist)
+        return np.asarray(preds)[:, :H0, :W0], np.asarray(hist)
 
     def hist_batch(self, variables: Any, images: np.ndarray,
                    labels: np.ndarray) -> np.ndarray:
         """Histogram only — skips the (large) predictions device->host copy
         that the metric accumulation never needs."""
+        images, labels, _ = self._pad_to_bucket(images, labels)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         run = self._program(B, H, W)
         _, hist = run(variables, self._to_device(images), jnp.asarray(labels))

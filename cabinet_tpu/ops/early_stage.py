@@ -29,15 +29,18 @@ band-by-band in VMEM with W in the LANE dimension (W/2 = 512 lanes at the
 
 Inference-only (BN folded); training uses the standard XLA path.
 
-STATUS (v5e, batch 16, 1024^2): 1.05 ms/img for the fused subgraph vs
-1.44 ms/img for the XLA path — 1.4x. Compute-bound at ~65us/band on the
-VPU's instruction issue rate; measured NOT bound by DMA (double-buffering
-and bf16 packing changed nothing) or scalar loads (SMEM weights changed
-nothing). Known next steps: hoist the shift masks (one iota per shape
-instead of per shift), pack channels into sublanes to cut instruction
-count, and extend the fusion through block_1/block_2 so the planes layout
-amortizes further. Not yet wired into CABiNet's forward (the end-to-end
-bench already exceeds the 500 img/s target on the XLA path).
+STATUS (v5e, 1024^2, bf16, measured END-TO-END via models/fused.py
+make_fused_apply — round 2): batch 16: 2.133 vs 3.000 ms/img for the XLA
+path (1.41x win); batch 128: 1.266 vs 0.978 (XLA wins — at large batch XLA
+tiles the small-C convs efficiently while this kernel stays VPU-issue-bound
+at ~0.19 ms/img regardless of batch; glue costs: pack 0.038, out-transpose
+0.059 ms/img). Use for serving at batch <=32; the batch-128 headline bench
+keeps the XLA path. Next levers for the large-batch regime: pack channels
+into sublanes (MXU instead of scalar FMAs), emit bf16 planes, feed
+block_1's expand from planes via einsum (kills the out-transpose).
+Compute-bound at ~65us/band on the VPU's instruction issue rate; measured
+NOT bound by DMA (double-buffering and bf16 packing changed nothing) or
+scalar loads (SMEM weights changed nothing).
 """
 
 from __future__ import annotations

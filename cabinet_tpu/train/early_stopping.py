@@ -9,8 +9,12 @@ from typing import Any, Dict, Optional
 class EarlyStopping:
     """Stop when fitness (mIoU) hasn't improved for `patience` epochs.
 
-    patience=0 disables stopping; fitness=None epochs are no-ops (they neither
-    improve nor advance the patience clock's reference point).
+    Numeric contract (kept identical to the reference so resumed runs stop
+    at the same epoch): patience=0 disables stopping entirely; fitness=None
+    epochs are no-ops (they neither improve nor advance the patience clock's
+    reference point); a stored best of exactly 0.0 is treated as "no best
+    yet", so the first real measurement always becomes the new best even if
+    it is worse than an (impossible) zero mIoU.
     """
 
     def __init__(self, patience: int = 0) -> None:

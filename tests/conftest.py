@@ -75,3 +75,12 @@ def _make_fake_seg_tree(root, splits, n_images, size=(16, 16), num_classes=8,
 @pytest.fixture
 def fake_seg_tree(tmp_path):
     return lambda **kw: _make_fake_seg_tree(tmp_path, **kw)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark integration/ and parity/ tests as slow (XLA compile-heavy):
+    `pytest -m "not slow"` is the fast unit loop, the full run is CI's job."""
+    for item in items:
+        parts = item.path.parts if hasattr(item, "path") else ()
+        if "integration" in parts or "parity" in parts:
+            item.add_marker(pytest.mark.slow)

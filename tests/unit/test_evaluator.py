@@ -128,3 +128,43 @@ def test_full_evaluate_over_loader():
     assert res["mIoU"] == pytest.approx(0.25)
     assert res["accuracy"] == pytest.approx(1.0)
     assert res["iou_per_class"]["class_2"] == pytest.approx(1.0)
+
+
+def test_pad_to_bucket_one_program_and_clean_hist():
+    """Resolution bucketing (SURVEY §7.3): two native resolutions share ONE
+    compiled program; padded pixels never reach the histogram; returned
+    predictions are cropped back to native."""
+    ev = MscEval(checkerboard_apply, N_CLASSES, scales=(1.0,), cropsize=32,
+                 pad_to=(48, 64))
+    rng = np.random.default_rng(0)
+    total = np.zeros((N_CLASSES, N_CLASSES))
+    for (h, w) in ((48, 64), (40, 56)):
+        images = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+        labels = (images.mean(axis=-1) > 0).astype(np.int64)
+        preds, hist = ev.evaluate_batch({}, images, labels)
+        assert preds.shape == (1, h, w)
+        assert hist.sum() == h * w  # ignore-filled padding excluded
+        np.testing.assert_array_equal(preds, labels)  # content unaffected
+        total += hist
+    assert len(ev._progs) == 1  # both resolutions hit one shape bucket
+
+
+def test_pad_to_bucket_rejects_oversize():
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=16,
+                 pad_to=(32, 32))
+    with pytest.raises(ValueError, match="exceeds"):
+        ev.hist_batch({}, np.zeros((1, 40, 32, 3), np.float32),
+                      np.zeros((1, 40, 32), np.int64))
+
+
+def test_pad_to_bucket_skips_far_smaller_images():
+    """Images below half the bucket evaluate natively (the bucket targets
+    near-bucket resolutions like UAVid's 3840-vs-4096; padding a tiny test
+    crop into a 4K canvas would waste >4x compute)."""
+    ev = MscEval(checkerboard_apply, N_CLASSES, scales=(1.0,), cropsize=8,
+                 pad_to=(2160, 4096))
+    images = np.random.default_rng(0).normal(size=(1, 16, 16, 3)).astype(np.float32)
+    labels = (images.mean(axis=-1) > 0).astype(np.int64)
+    preds, hist = ev.evaluate_batch({}, images, labels)
+    assert preds.shape == (1, 16, 16)
+    assert (1, 16, 16) in ev._progs  # compiled at native size, not the bucket
