@@ -59,7 +59,9 @@ def build_rgb_lut(colour_map: Dict[Tuple[int, int, int], int]) -> np.ndarray:
 def convert_rgb_mask(src: Path, dst: Path, lut: np.ndarray,
                      dry_run: bool = False) -> str:
     arr = np.asarray(Image.open(src).convert("RGB"))
-    ids = lut[arr[..., 0], arr[..., 1], arr[..., 2]]
+    from cabinet_tpu import native
+
+    ids = native.lut_remap_rgb(arr, lut)
     if not dry_run:
         dst.parent.mkdir(parents=True, exist_ok=True)
         Image.fromarray(ids, mode="L").save(dst)

@@ -170,12 +170,16 @@ class FolderSegDataset:
         return np.random.default_rng([self.seed, self.epoch, idx])
 
     def _normalize(self, img: Image.Image) -> Array:
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        from cabinet_tpu import native
+
+        arr = np.asarray(img, dtype=np.uint8)
         if self.mode == "train" and self.photometric == "device":
-            return arr  # raw [0,1]; the device pipeline normalizes
-        mean = np.asarray(self.MEAN, dtype=np.float32)
-        std = np.asarray(self.STD, dtype=np.float32)
-        return (arr - mean) / std
+            # raw [0,1]; the device pipeline normalizes
+            return native.normalize_u8_f32(arr, (0.0, 0.0, 0.0),
+                                           (1.0, 1.0, 1.0))
+        # fused C kernel (bit-equal to the numpy expression; tests/unit/
+        # test_native.py) — one pass instead of three numpy temporaries
+        return native.normalize_u8_f32(arr, self.MEAN, self.STD)
 
     def _decode_label(self, label: Image.Image) -> Array:
         return np.asarray(label, dtype=np.int64)

@@ -25,21 +25,34 @@ from cabinet_tpu.ops.early_stage import (
 )
 
 
-def fused_early_supported(shape: Tuple[int, ...]) -> bool:
-    """The kernel requires even H/W and a whole number of row bands."""
+def fused_early_supported(shape: Tuple[int, ...],
+                          interpret: bool = False) -> bool:
+    """The kernel requires even H/W and a whole number of row bands; the
+    COMPILED (TPU) path additionally needs the lane dimension W/2 to be a
+    multiple of 128 (Mosaic slices must be lane-tile aligned — a 1024x1024
+    input gives W/2 = 512 lanes). Interpret mode (tests/CPU) has no lane
+    constraint."""
     H, W = shape[1], shape[2]
     if H % 2 or W % 2:
+        return False
+    if not interpret and (W // 2) % 128 != 0:
         return False
     h2 = H // 2
     return h2 % min(F_BAND, h2) == 0
 
 
 def make_fused_apply(
-    model: CABiNet, variables: Any, interpret: bool = False
+    model: CABiNet, variables: Any, interpret: bool = None
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Return `forward(images) -> (final_logits, aux_logits)` using the fused
     Pallas early stage. `variables` must contain trained/converted
-    batch_stats (they are folded into the kernel weights here, once)."""
+    batch_stats (they are folded into the kernel weights here, once).
+    interpret=None auto-selects Pallas interpret mode off-TPU (the kernel
+    only compiles for TPU; other backends run it interpreted)."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     from cabinet_tpu.models.mobilenetv3 import default_cfgs
 
     cfgs = model.cfgs if model.cfgs is not None else default_cfgs(model.mode)
@@ -58,7 +71,7 @@ def make_fused_apply(
     )
 
     def forward(images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        if not fused_early_supported(images.shape):
+        if not fused_early_supported(images.shape, interpret=interpret):
             raise ValueError(
                 f"fused early stage unsupported for input {images.shape}; "
                 "use the standard apply path"

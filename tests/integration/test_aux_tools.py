@@ -117,6 +117,19 @@ def test_infer_segmenter_and_image(tmp_path, tiny_ckpt, monkeypatch):
     assert (out_dir / "frame_mask.png").exists()
     assert (out_dir / "frame_overlay.png").exists()
 
+    # batched path (video/folder throughput engine): same predictions as
+    # batch-1, partial chunks padded through one program
+    segb = infer_mod.Segmenter(str(ckpt_path), "uavid", mode="small",
+                               imgsz=24, dtype_name="float32", batch=4)
+    frames = [np.random.default_rng(i).integers(0, 255, (30, 40, 3),
+                                                dtype=np.uint8)
+              for i in range(3)]
+    preds = segb.predict_batch(frames)
+    assert len(preds) == 3
+    for f, pr in zip(frames, preds):
+        assert pr.shape == (30, 40)
+        np.testing.assert_array_equal(pr, seg.predict(f))
+
 
 def test_convert_checkpoint_roundtrip(tmp_path, monkeypatch):
     torch = pytest.importorskip("torch")

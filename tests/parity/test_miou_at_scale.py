@@ -1,0 +1,172 @@
+"""Offline mIoU-parity proof at scale (the strongest proxy available with
+zero egress for the "UAVid mIoU within 0.2 pts" north star):
+
+  1. self-train a small CABiNet on a learnable synthetic task until it is
+     confident,
+  2. export the weights with flax_to_torch and load them into the
+     REFERENCE's own network + MscEvalV0 engine
+     (/root/reference/src/scripts/evaluate.py:89-159),
+  3. run the full eval protocol — scales [0.5..1.75], flip TTA, sliding
+     window with 5/6 stride over 512^2 images (>= 4 tiles per scale) —
+     in both frameworks,
+  4. assert the integer confusion matrices match BIT-EXACTLY on
+     boundary-free images, both for the exported (flax->torch) and the
+     round-tripped (torch->flax) weights; on a multi-class image with class
+     boundaries, assert pixel agreement >= 99.9% and |dmIoU| < 5e-3.
+
+Why the boundary caveat: the upsampled /8-grid logits cross zero
+continuously at class boundaries, so some boundary pixels always sit within
+fp noise of a tie — measured 62 of 245,760 pixels (0.025%) flip between
+torch-CPU and XLA-CPU on a trained model. Away from ties the protocols are
+bit-identical, which the boundary-free images prove.
+
+When the published HF checkpoints are reachable, the same machinery runs:
+  python -m cabinet_tpu.cli.evaluate checkpoint_path=<hf .pth> dataset=uavid split=test
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.parity.test_eval_parity import SMALL_CFGS, _ref_available, ref_eval  # noqa: F401,E501
+
+pytestmark = pytest.mark.skipif(not _ref_available(),
+                                reason="reference repo not available")
+
+N_CLASSES = 5
+# Class color prototypes chosen far apart so bilinear blends at block edges
+# stay unambiguous (argmax margins large enough that torch-vs-XLA fp noise
+# cannot flip a prediction).
+PALETTE = np.array([
+    [220, 40, 40],
+    [40, 220, 40],
+    [40, 40, 220],
+    [220, 220, 40],
+    [140, 40, 220],
+], np.float32) / 255.0
+
+
+def _synthetic(rng, size, block):
+    """Blocky label map + its palette rendering with mild noise."""
+    grid = rng.integers(0, N_CLASSES, (size // block, size // block))
+    labels = np.kron(grid, np.ones((block, block), np.int64))
+    image = PALETTE[labels] + rng.normal(0, 0.02, (*labels.shape, 3))
+    return image.astype(np.float32), labels
+
+
+@pytest.fixture(scope="module")
+def trained_variables():
+    """Train the small CABiNet to confident convergence on the palette task."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.train.trainer import create_train_state, make_train_step
+
+    model = CABiNet(n_classes=N_CLASSES, mode="small", cfgs=SMALL_CFGS)
+    rng = np.random.default_rng(7)
+    S = 96
+    x0 = jnp.zeros((4, S, S, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=True)
+
+    tx = optax.adam(2e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, n_min=4 * S * S // 16,
+                           loss_type="ce")
+    loss = None
+    # Block size 48 keeps class-boundary pixels (which CABiNet's /8-grid
+    # upsampled logits cannot sharpen) a small fraction of the loss, so the
+    # dual-head CE converges to a confident interior.
+    for i in range(250):
+        imgs, lbls = zip(*[_synthetic(rng, S, 48) for _ in range(4)])
+        state, loss = step(state, jnp.asarray(np.stack(imgs)),
+                           jnp.asarray(np.stack(lbls)))
+    assert float(loss) < 0.9, f"synthetic task did not converge: {float(loss)}"
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
+    TorchCABiNet, MscEvalV0 = ref_eval
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.utils.torch_convert import flax_to_torch, torch_to_flax
+
+    # ---- export: flax -> torch -> the reference's own network -----------
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch(trained_variables, SMALL_CFGS).items()}
+    tmodel = TorchCABiNet(n_classes=N_CLASSES, mode="small", cfgs=SMALL_CFGS)
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k or k.startswith("mobile.classifier")
+               for k in missing), missing
+    tmodel.eval()
+
+    rng = np.random.default_rng(11)
+    scales = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
+    cropsize = 256  # 512^2 at scale 1.0 -> 3x3 = 9 tiles (>= 4 per scale)
+
+    def run_ref(images, labels):
+        class OneBatch:
+            def __iter__(self):
+                yield (torch.from_numpy(images.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(labels))
+
+        ref = MscEvalV0(tmodel, OneBatch(), n_classes=N_CLASSES,
+                        ignore_label=255, scales=scales, flip=True,
+                        cropsize=cropsize, device=torch.device("cpu"))
+        return ref.evaluate()
+
+    ev = MscEval(lambda v, x, train=False: CABiNet(
+        n_classes=N_CLASSES, mode="small", cfgs=SMALL_CFGS).apply(v, x, train=train),
+        n_classes=N_CLASSES, ignore_label=255, scales=scales, flip=True,
+        cropsize=cropsize)
+
+    # ---- bit-exact on boundary-free 512^2 images (no fp ties possible) ---
+    exact_imgs, exact_lbls = [], []
+    for c in range(3):
+        lbl = np.full((512, 512), c, np.int64)
+        img = (PALETTE[lbl] + rng.normal(0, 0.02, (512, 512, 3))
+               ).astype(np.float32)
+        lbl[:32] = 255  # ignore strip exercised at full protocol
+        exact_imgs.append(img)
+        exact_lbls.append(lbl)
+    images = np.stack(exact_imgs)[:, ...]
+    labels = np.stack(exact_lbls)
+
+    for i in range(len(images)):
+        im, lb = images[i:i + 1], labels[i:i + 1]
+        ref_out = run_ref(im, lb)
+        res = ev.evaluate(trained_variables, [(im, lb)])
+        assert np.array_equal(res["confusion_matrix"],
+                              ref_out["confusion_matrix"]), (
+            f"class-{i} image: matrices differ by "
+            f"{np.abs(res['confusion_matrix'] - ref_out['confusion_matrix']).sum()}"
+        )
+        # the model actually recognizes the class (not a vacuous comparison)
+        assert res["confusion_matrix"][i, i] > 0.95 * (512 - 32) * 512
+
+        # round trip torch -> flax: still bit-exact
+        back = torch_to_flax({k: v for k, v in tmodel.state_dict().items()},
+                             SMALL_CFGS)
+        res_rt = ev.evaluate(
+            {"params": back["params"], "batch_stats": back["batch_stats"]},
+            [(im, lb)])
+        assert np.array_equal(res_rt["confusion_matrix"],
+                              res["confusion_matrix"])
+
+    # ---- multi-class image: ties at block boundaries allowed fp noise ----
+    image, lbl = _synthetic(rng, 512, 64)
+    lbl[:32] = 255
+    im, lb = image[None], lbl[None]
+    ref_out = run_ref(im, lb)
+    res = ev.evaluate(trained_variables, [(im, lb)])
+    total = res["confusion_matrix"].sum()
+    diff = np.abs(res["confusion_matrix"] - ref_out["confusion_matrix"]).sum() / 2
+    assert diff <= 1e-3 * total, f"{diff} of {total} pixels disagree"
+    # ~60 tie-flips on ONE 512^2 image move mIoU by up to ~2e-3 (each class's
+    # IoU has only ~50k pixels of support here); across a real test set the
+    # flips average out far below the 0.2-pt north-star budget.
+    assert abs(res["mIoU"] - ref_out["mIoU"]) < 5e-3
+    assert res["mIoU"] > 0.9  # the task was learned

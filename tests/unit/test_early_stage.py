@@ -97,7 +97,10 @@ def test_fused_apply_rejects_unsupported():
         make_fused_apply(model, variables)
 
     assert not fused_early_supported((1, 63, 64, 3))   # odd H
-    assert not fused_early_supported((1, 96, 64, 3))   # 48 rows, band 32
+    assert not fused_early_supported((1, 96, 256, 3), interpret=True)  # 48 rows
+    # compiled path: Mosaic needs the W/2 lane dim 128-aligned
+    assert not fused_early_supported((1, 64, 64, 3))
+    assert fused_early_supported((1, 64, 64, 3), interpret=True)
     assert fused_early_supported((1, 1024, 1024, 3))
 
 
