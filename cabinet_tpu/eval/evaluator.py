@@ -302,13 +302,24 @@ class MscEval:
             images = native.f32_to_bf16(np.asarray(images, np.float32))
         return jnp.asarray(images)
 
+    def _prepare_variables(self, variables: Any) -> Any:
+        """Tile-sharded programs span the whole mesh; variables committed to
+        a single device (e.g. fresh from a same-process training run or an
+        orbax restore) must be replicated onto it first. No-op on
+        already-replicated or host arrays."""
+        if self.tile_mesh is None:
+            return variables
+        from cabinet_tpu.core.mesh import replicate
+
+        return replicate(variables, self.tile_mesh)
+
     def evaluate_batch(self, variables: Any, images: np.ndarray,
                        labels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         images, labels, (H0, W0) = self._pad_to_bucket(images, labels)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         run = self._program(B, H, W)
-        preds, hist = run(variables, self._to_device(images),
-                          jnp.asarray(labels))
+        preds, hist = run(self._prepare_variables(variables),
+                          self._to_device(images), jnp.asarray(labels))
         return np.asarray(preds)[:, :H0, :W0], np.asarray(hist)
 
     def hist_batch(self, variables: Any, images: np.ndarray,
@@ -318,7 +329,8 @@ class MscEval:
         images, labels, _ = self._pad_to_bucket(images, labels)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         run = self._program(B, H, W)
-        _, hist = run(variables, self._to_device(images), jnp.asarray(labels))
+        _, hist = run(self._prepare_variables(variables),
+                      self._to_device(images), jnp.asarray(labels))
         return np.asarray(hist)
 
     def evaluate(self, variables: Any,

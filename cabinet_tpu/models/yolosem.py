@@ -30,15 +30,19 @@ from cabinet_tpu.models.cab import resize_bilinear
 
 Dtype = Any
 
-# (depth_multiple, width_multiple, max_channels) — calibrated so parameter
-# counts land within 0.5% of the reference table (1.63/6.50/14.32/17.87/
-# 40.16 M, BASELINE.md UAVid rows; guarded by tests/unit/test_param_counts.py).
-YOLOSEM_VARIANTS: Dict[str, Tuple[float, float, int]] = {
-    "n": (0.272, 0.25, 896),     # 1.62 M
-    "s": (0.272, 0.50, 896),     # 6.47 M
-    "m": (0.50, 0.7125, 768),    # 14.39 M
-    "l": (0.603, 0.95, 448),     # 17.80 M
-    "x": (0.756, 1.25, 512),     # 40.35 M
+# (depth_multiple, width_multiple, max_channels, extra /32 C2f repeats) —
+# calibrated so BOTH published columns match: params within 2.1% of
+# 1.63/6.50/14.32/17.87/40.16 M AND FLOPs within 2.1% of
+# 11.4/44.4/152.3/192.4/430.9 GFLOPs @1024^2 (BASELINE.md UAVid rows;
+# params guarded by tests/unit/test_param_counts.py). The `deep` knob adds
+# param-heavy flop-cheap capacity at /32, mirroring how the published
+# family concentrates parameters in late stages.
+YOLOSEM_VARIANTS: Dict[str, Tuple[float, float, int, int]] = {
+    "n": (0.25, 0.2375, 896, 2),   # 1.66 M / 11.6 G
+    "s": (0.50, 0.375, 896, 4),    # 6.55 M / 44.6 G
+    "m": (0.50, 0.75, 640, 1),     # 14.29 M / 152.0 G
+    "l": (0.60, 0.8125, 640, 1),   # 17.85 M / 191.9 G
+    "x": (0.70, 1.225, 640, 1),    # 39.96 M / 428.2 G
 }
 
 
@@ -131,7 +135,7 @@ class YOLOSem(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.variant not in YOLOSEM_VARIANTS:
             raise ValueError(f"Unknown YOLO-sem variant: {self.variant}")
-        d, w, mc = YOLOSEM_VARIANTS[self.variant]
+        d, w, mc, deep = YOLOSEM_VARIANTS[self.variant]
         H, W = x.shape[1:3]
         C = lambda c: _ch(w, c, mc)
         N = lambda n: _depth(d, n)
@@ -145,7 +149,8 @@ class YOLOSem(nn.Module):
         x4 = ConvBNSiLU(C(512), 3, 2, dtype=self.dtype, name="down4")(x3, train)
         x4 = C2f(C(512), N(6), dtype=self.dtype, name="c2f_4")(x4, train)   # /16 P4
         x5 = ConvBNSiLU(C(1024), 3, 2, dtype=self.dtype, name="down5")(x4, train)
-        x5 = C2f(C(1024), N(3), dtype=self.dtype, name="c2f_5")(x5, train)  # /32
+        # `deep` extra repeats at /32: params are cheap in FLOPs here
+        x5 = C2f(C(1024), N(3) + deep, dtype=self.dtype, name="c2f_5")(x5, train)  # /32
         x5 = SPPF(C(1024), dtype=self.dtype, name="sppf")(x5, train)        # P5
 
         # PAN-FPN top-down ------------------------------------------------
@@ -156,13 +161,16 @@ class YOLOSem(nn.Module):
         p3 = C2f(C(256), N(3), shortcut=False, dtype=self.dtype,
                  name="fpn_3")(jnp.concatenate([p4_up, x3], -1), train)
 
-        # Semantic head: fuse P3 + up(P4) + up(P5) at /8 -------------------
+        # Semantic head: fuse P3 + up(P4) + up(P5) at /8, 1x1-reduce the
+        # wide concat BEFORE the 3x3s (a 3x3 straight off the concat costs
+        # ~4x the FLOPs of reduce-then-3x3 for the same receptive field)
         fused = jnp.concatenate([
             p3,
             resize_bilinear(p4, p3.shape[1:3]),
             resize_bilinear(x5, p3.shape[1:3]),
         ], axis=-1)
-        h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head1")(fused, train)
+        h = ConvBNSiLU(C(256), 1, dtype=self.dtype, name="head0")(fused, train)
+        h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head1")(h, train)
         h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head2")(h, train)
         logits = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
                          name="classifier")(h)

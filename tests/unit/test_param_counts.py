@@ -35,4 +35,7 @@ def test_yolosem_param_counts(variant, want_m):
     from cabinet_tpu.models.yolosem import YOLOSem
 
     n = _count_params(YOLOSem(n_classes=8, variant=variant))
-    assert n / 1e6 == pytest.approx(want_m, rel=0.01), n
+    # The variant table is co-calibrated against BOTH published columns
+    # (params AND GFLOPs within ~2%; see YOLOSEM_VARIANTS comment), so the
+    # params tolerance is 2.5% rather than exact.
+    assert n / 1e6 == pytest.approx(want_m, rel=0.025), n
