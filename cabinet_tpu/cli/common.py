@@ -19,13 +19,26 @@ CONFIG_DIR = REPO_ROOT / "configs"
 
 def parse_cli(argv: Optional[Sequence[str]], default_config: str,
               description: str) -> Tuple[Config, argparse.Namespace]:
-    """Hydra-style CLI: positional key=value overrides + --config-name."""
+    """Hydra-style CLI: positional key=value overrides + --config-name.
+
+    ``--legacy-config path.json`` instead migrates a pre-Hydra legacy JSON
+    (reference legacy/train_*.json) onto the modern ``train`` tree; positional
+    overrides still apply on top (cabinet_tpu.core.legacy_config).
+    """
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--config-name", default=default_config)
     p.add_argument("--config-dir", default=str(CONFIG_DIR))
+    p.add_argument("--legacy-config", default=None, metavar="JSON",
+                   help="pre-Hydra legacy JSON config to migrate and run")
     p.add_argument("overrides", nargs="*", help="key=value overrides")
     args = p.parse_args(argv)
-    cfg = compose(args.config_dir, args.config_name, args.overrides)
+    if args.legacy_config:
+        from cabinet_tpu.core.legacy_config import load_legacy_config
+
+        cfg = load_legacy_config(args.legacy_config, args.config_dir,
+                                 args.overrides)
+    else:
+        cfg = compose(args.config_dir, args.config_name, args.overrides)
     return cfg, args
 
 
