@@ -86,13 +86,15 @@ def make_train_step(
     loss_type: str = "ohem",
     aux_weight: float = 1.0,
     ohem_method: str = "bisect",
+    jit: bool = True,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
     """Build the jitted train step. `apply_fn(variables, x, train, mutable)`
     must return ((final, aux), {"batch_stats": ...}).
 
     loss_type: "ohem" (CABiNet recipe, reference train.py:435) or "ce"
     (plain weighted CE, YOLO-sem recipe). aux_weight scales the aux head's
-    deep-supervision term (1.0 for CABiNet)."""
+    deep-supervision term (1.0 for CABiNet). jit=False returns the raw
+    traceable step (e.g. to embed it in a lax.scan chain, bench.py)."""
 
     cw = None if class_weights is None else jnp.asarray(class_weights)
 
@@ -127,7 +129,6 @@ def make_train_step(
             ema=new_ema,
         )
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray
                    ) -> Tuple[TrainState, jnp.ndarray]:
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -150,6 +151,8 @@ def make_train_step(
                              do_hold, state)
         return state, loss * accum_steps
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,))
     return train_step
 
 
