@@ -8,6 +8,7 @@ Extra modes (one JSON line each, for NOTES/regression tracking):
                                         clipping), optionally with remat
   python bench.py train-remat [batch ...]
   python bench.py latency             — batch-1 serving latency (ms/frame)
+  python bench.py infer-int8          — int8 PTQ serving path (quant.py)
   python bench.py infer-xla           — force the pure-XLA inference path
   python bench.py infer-fused         — force the fused Pallas early stage
 
@@ -66,7 +67,17 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
     from functools import partial
 
     model, variables = _build(use_pallas=use_pallas)
-    if fused:
+    if fused == "int8":
+        from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+        calib = jnp.asarray(np.random.default_rng(1).normal(size=(8, H, W, 3)),
+                            jnp.bfloat16)
+        scales = collect_act_scales(model, variables, [calib])
+        q_apply = make_quantized_apply(model, scales)
+
+        def forward(img):
+            return q_apply(variables, img, train=False)
+    elif fused:
         from cabinet_tpu.models import make_fused_apply
 
         forward = make_fused_apply(model, variables)
@@ -98,7 +109,9 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
         if ips > best:
             best, best_batch = ips, batch
 
-    tag = "fused-early" if fused else ("XLA+pallas-attn" if use_pallas else "XLA")
+    tag = ("int8-PTQ" if fused == "int8"
+           else "fused-early" if fused
+           else ("XLA+pallas-attn" if use_pallas else "XLA"))
     return {
         "metric": f"CABiNet-Large 1024x1024 bf16 inference ({tag}, batch {best_batch})",
         "value": round(best, 2),
@@ -204,6 +217,11 @@ def main() -> None:
         out = bench_infer(fused=False, use_pallas=False)
     elif mode == "infer-fused":
         out = bench_infer(fused=True, use_pallas=False)
+    elif mode == "infer-int8":
+        # int8 PTQ serving path (cabinet_tpu/quant.py): MXU convs at 2x the
+        # bf16 rate; depthwise/attention stay bf16. Random-data calibration
+        # (timing only; quality protocol lives in tests/unit/test_quant.py).
+        out = bench_infer(fused="int8", use_pallas=False)
     elif mode == "train":
         out = bench_train(batches, remat=False)
     elif mode == "train-remat":

@@ -46,7 +46,29 @@ def evaluate_checkpoint(cfg) -> dict:
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
 
-    evaluator = MscEval(model.apply, n_classes,
+    # Opt-in int8 PTQ serving path: calibrate activation scales on the
+    # first val batches, then evaluate with MXU convs in int8
+    # (cabinet_tpu/quant.py). `+runtime.quantize=int8` on the CLI.
+    apply_fn = model.apply
+    if str(cfg.select("runtime.quantize", "")) == "int8":
+        from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+        n_calib = int(cfg.select("runtime.calib_batches", 2))
+        calib = []
+        for i, (images, _) in enumerate(dl):
+            if i >= n_calib:
+                break
+            # crop to the training cropsize: calibration needs activation
+            # RANGES, not full frames, and one fixed shape = one compile
+            img = jnp.asarray(images, common.compute_dtype_of(cfg))
+            calib.append(img[:, :crop, :crop, :])
+        scales = collect_act_scales(model, variables, calib)
+        apply_fn = make_quantized_apply(model, scales)
+        RichConsoleManager.get_console().print(
+            f"[info]int8 PTQ: {len(scales)} convs quantized, "
+            f"calibrated on {len(calib)} batches[/info]")
+
+    evaluator = MscEval(apply_fn, n_classes,
                         ignore_label=cfg.dataset.ignore_idx,
                         scales=tuple(vc.eval_scales), flip=bool(vc.flip),
                         cropsize=crop,

@@ -1,0 +1,111 @@
+"""int8 PTQ serving path (cabinet_tpu/quant.py): calibration, interception,
+numerics vs the float model. CPU-only (int8 convs lower on every backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cabinet_tpu.models import CABiNet
+from cabinet_tpu.quant import (
+    collect_act_scales,
+    default_site_predicate,
+    make_quantized_apply,
+    quantization_report,
+)
+
+CFGS = [[3, 1, 16, 1, 0, 2], [3, 4.5, 24, 0, 0, 2], [5, 4, 40, 1, 1, 2],
+        [5, 6, 96, 1, 1, 2]]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = CABiNet(n_classes=3, mode="small", cfgs=CFGS)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    return model, variables, batch
+
+
+def test_calibration_selects_mxu_convs_only(setup):
+    model, variables, batch = setup
+    scales = collect_act_scales(model, variables, [batch])
+    assert scales, "no quantization sites found"
+    for key, scale in scales.items():
+        assert scale > 0
+    # 3-channel stems excluded (spatial-branch conv1, backbone stem)
+    assert not any(key.endswith("stem") for key in scales)
+    assert "sb/conv1/conv" not in scales
+    # n_classes classifier heads excluded (cout=3 < 16)
+    assert not any("conv_out/conv_out" in key or key.endswith("b4")
+                   for key in scales)
+    # the big decoder convs are in
+    assert any("ffm/convblk" in key for key in scales)
+    assert any("conv_out/conv" in key for key in scales)
+    # backbone expand/project 1x1s are in
+    assert any("expand" in key for key in scales)
+
+
+def test_empty_scales_is_bitwise_reference(setup):
+    model, variables, batch = setup
+    q_apply = make_quantized_apply(model, {})
+    ref, ref_aux = model.apply(variables, batch, train=False)
+    out, aux = q_apply(variables, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(ref_aux), np.asarray(aux))
+
+
+def test_quantized_forward_tracks_float_model(setup):
+    model, variables, batch = setup
+    scales = collect_act_scales(model, variables, [batch])
+    report = quantization_report(model, variables, scales, batch, train=False)
+    assert report["n_quantized_convs"] == len(scales) > 5
+    # random-weight logits are small; agreement is the robust signal
+    assert report["argmax_agreement"] > 0.95
+    assert np.isfinite(report["mean_abs_logit_delta"])
+    ref, _ = model.apply(variables, batch, train=False)
+    spread = float(jnp.std(ref.astype(jnp.float32)))
+    assert report["mean_abs_logit_delta"] < 0.25 * max(spread, 1e-6)
+
+
+def test_partial_quantization_filters_sites(setup):
+    model, variables, batch = setup
+    scales = collect_act_scales(model, variables, [batch])
+    decoder_only = {k: v for k, v in scales.items()
+                    if k.startswith(("ffm", "conv_out", "ab"))}
+    assert 0 < len(decoder_only) < len(scales)
+    q_apply = make_quantized_apply(model, decoder_only)
+    out, _ = q_apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_calibration_max_over_batches(setup):
+    model, variables, batch = setup
+    small = collect_act_scales(model, variables, [batch * 0.1])
+    both = collect_act_scales(model, variables, [batch * 0.1, batch])
+    big = collect_act_scales(model, variables, [batch])
+    for key in big:
+        assert both[key] == pytest.approx(max(big[key], small[key]))
+
+
+def test_quantized_apply_drives_msc_eval(setup):
+    """q_apply is a drop-in apply_fn for the sliding-window evaluator
+    (the cli.evaluate `+runtime.quantize=int8` path)."""
+    from cabinet_tpu.eval.evaluator import MscEval
+
+    model, variables, batch = setup
+    scales = collect_act_scales(model, variables, [batch])
+    q_apply = make_quantized_apply(model, scales)
+    ev = MscEval(q_apply, n_classes=3, scales=(1.0,), cropsize=32)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 48, 40, 3)).astype(np.float32)
+    lbl = rng.integers(0, 3, (1, 48, 40)).astype(np.int64)
+    hist = ev.hist_batch(variables, img, lbl)
+    assert hist.sum() == 48 * 40
+
+
+def test_site_predicate_contract():
+    assert default_site_predicate(("x",), (3, 3, 256, 256))
+    assert not default_site_predicate(("x",), (7, 7, 3, 64))    # 3-ch input
+    assert not default_site_predicate(("x",), (1, 1, 256, 8))   # class head
