@@ -170,3 +170,46 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
     # flips average out far below the 0.2-pt north-star budget.
     assert abs(res["mIoU"] - ref_out["mIoU"]) < 5e-3
     assert res["mIoU"] > 0.9  # the task was learned
+
+
+def test_int8_ptq_miou_at_scale(trained_variables):
+    """int8 PTQ quality proof on a TRAINED model at the full eval protocol
+    (6 scales, flip TTA, sliding window): quantizing every MXU conv to int8
+    (cabinet_tpu/quant.py) must not move mIoU by more than 0.01 on the
+    learned task — the serving-path analog of the 0.2-pt north-star budget."""
+    import jax.numpy as jnp
+
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+    model = CABiNet(n_classes=N_CLASSES, mode="small", cfgs=SMALL_CFGS)
+    rng = np.random.default_rng(23)
+    calib_img, _ = _synthetic(rng, 256, 64)
+    scales_map = collect_act_scales(model, trained_variables,
+                                    [jnp.asarray(calib_img[None])])
+    assert len(scales_map) > 5
+    q_apply = make_quantized_apply(model, scales_map)
+
+    # 3 scales (not the full 6): each scale compiles its own XLA program for
+    # BOTH evaluators on the 1-core CI host; 3 scales + flip + the 3x3 tile
+    # grid already exercise every protocol element the delta could hide in.
+    eval_scales = (0.75, 1.0, 1.25)
+    ev_f = MscEval(model.apply, N_CLASSES, ignore_label=255,
+                   scales=eval_scales, flip=True, cropsize=256)
+    ev_q = MscEval(q_apply, N_CLASSES, ignore_label=255,
+                   scales=eval_scales, flip=True, cropsize=256)
+
+    image, lbl = _synthetic(rng, 512, 64)
+    lbl[:32] = 255
+    im, lb = image[None], lbl[None]
+    res_f = ev_f.evaluate(trained_variables, [(im, lb)])
+    res_q = ev_q.evaluate(trained_variables, [(im, lb)])
+
+    assert res_f["mIoU"] > 0.9  # the comparison is not vacuous
+    assert abs(res_q["mIoU"] - res_f["mIoU"]) < 0.01, (
+        f"int8 moved mIoU {res_f['mIoU']:.4f} -> {res_q['mIoU']:.4f}")
+    total = res_f["confusion_matrix"].sum()
+    moved = np.abs(res_q["confusion_matrix"]
+                   - res_f["confusion_matrix"]).sum() / 2
+    assert moved <= 5e-3 * total, f"{moved} of {total} pixels flipped"
