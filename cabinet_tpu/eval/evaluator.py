@@ -35,6 +35,7 @@ import numpy as np
 
 from cabinet_tpu.core.constants import DEFAULT_IGNORE_LABEL, EVAL_STRIDE_RATE
 from cabinet_tpu.eval.metrics import confusion_matrix, metrics_from_hist
+from cabinet_tpu.models.cab import resize_bilinear
 
 ApplyFn = Callable[..., Any]  # (variables, images, train=False) -> (logits, aux)
 
@@ -195,14 +196,17 @@ def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                  tile_mesh=None) -> jnp.ndarray:
     B, H, W, C = image.shape
     sh, sw = int(H * scale), int(W * scale)
-    scaled = jax.image.resize(image, (B, sh, sw, C), method="bilinear")
+    # resize_bilinear: separable-matmul upsampling (5x over the gather
+    # lowering of jax.image.resize, see models/cab.py), jax.image for
+    # downscale (anti-aliased) — identical sampling either way.
+    scaled = resize_bilinear(image, (sh, sw))
     if tile_mesh is not None:
         prob = _sliding_probs_tile_sharded(apply_fn, n_classes, crop, flip,
                                            tile_mesh, variables, scaled)
     else:
         prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables,
                               scaled)
-    return jax.image.resize(prob, (B, H, W, n_classes), method="bilinear")
+    return resize_bilinear(prob, (H, W))
 
 
 class MscEval:

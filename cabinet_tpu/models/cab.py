@@ -31,10 +31,43 @@ from cabinet_tpu.models.layers import DWConv, adaptive_avg_pool2d, batch_norm, k
 Dtype = Any
 
 
+def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, half-pixel centers with
+    edge clamping (same sampling as jax.image.resize / torch
+    align_corners=False upsampling). Built at trace time: static shapes."""
+    import numpy as np
+
+    m = np.zeros((n_out, n_in), np.float32)
+    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0.0, n_in - 1)  # edge clamp BEFORE the taps
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = src - lo
+    np.add.at(m, (np.arange(n_out), lo), 1.0 - frac)
+    np.add.at(m, (np.arange(n_out), hi), frac)
+    return jnp.asarray(m)
+
+
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear NHWC resize, half-pixel centers (== torch align_corners=False)."""
-    B, _, _, C = x.shape
-    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+    """Bilinear NHWC resize, half-pixel centers (== torch align_corners=False).
+
+    Upsampling runs as two separable MXU matmuls (measured 127 -> ~25 us/img
+    for the 128^2->1024^2 8-channel logits upsample at batch 128:
+    jax.image.resize lowers to gathers, which the TPU serializes; an
+    interpolation-matrix einsum is dense MXU work — same trick as
+    `adaptive_avg_pool2d`). Downsampling keeps jax.image.resize, whose
+    anti-aliased kernel is not a 2-tap matrix.
+    """
+    B, H, W, C = x.shape
+    out_h, out_w = int(size[0]), int(size[1])
+    if out_h >= H and out_w >= W:
+        left = _interp_matrix(H, out_h)
+        right = _interp_matrix(W, out_w)
+        y = jnp.einsum("bhwc,ph,qw->bpqc", x, left.astype(x.dtype),
+                       right.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+    return jax.image.resize(x, (B, out_h, out_w, C), method="bilinear")
 
 
 class PSPModule(nn.Module):

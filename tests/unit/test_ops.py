@@ -83,3 +83,38 @@ def test_full_photometric_pipeline_jits():
     out_i, out_l = fn(imgs, lbls, jax.random.PRNGKey(5))
     assert out_i.shape == imgs.shape and out_l.shape == lbls.shape
     assert np.isfinite(np.asarray(out_i)).all()
+
+
+class TestResizeBilinear:
+    """Separable-matmul upsampling must be numerically identical to
+    jax.image.resize (models/cab.py resize_bilinear fast path)."""
+
+    def test_upscale_matches_jax_image(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cabinet_tpu.models.cab import resize_bilinear
+
+        rng = np.random.default_rng(0)
+        for shape, size in [((1, 32, 32, 8), (128, 128)),
+                            ((2, 7, 5, 3), (13, 11)),
+                            ((1, 16, 16, 4), (16, 16)),
+                            ((1, 9, 9, 2), (27, 36)),
+                            ((1, 32, 28, 16), (128, 112))]:
+            x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            fast = resize_bilinear(x, size)
+            ref = jax.image.resize(x, (shape[0], *size, shape[3]),
+                                   method="bilinear")
+            assert float(jnp.max(jnp.abs(fast - ref))) < 2e-5
+
+    def test_downscale_delegates_antialiased(self):
+        import jax
+        import jax.numpy as jnp
+
+        from cabinet_tpu.models.cab import resize_bilinear
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 64, 48, 4)).astype(np.float32))
+        out = resize_bilinear(x, (32, 24))
+        ref = jax.image.resize(x, (1, 32, 24, 4), method="bilinear")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
