@@ -34,18 +34,21 @@ Dtype = Any
 def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
     """(n_out, n_in) bilinear interpolation matrix, half-pixel centers with
     edge clamping (same sampling as jax.image.resize / torch
-    align_corners=False upsampling). Built at trace time: static shapes."""
-    import numpy as np
+    align_corners=False upsampling).
 
-    m = np.zeros((n_out, n_in), np.float32)
-    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
-    src = np.clip(src, 0.0, n_in - 1)  # edge clamp BEFORE the taps
-    lo = np.floor(src).astype(np.int64)
-    hi = np.minimum(lo + 1, n_in - 1)
-    frac = src - lo
-    np.add.at(m, (np.arange(n_out), lo), 1.0 - frac)
-    np.add.at(m, (np.arange(n_out), hi), frac)
-    return jnp.asarray(m)
+    Built ON DEVICE from iota + one_hot, NOT as a numpy constant: a dense
+    f32 constant at eval sizes (e.g. 4096x2048 = 33 MB) would embed into
+    the HLO of every program that uses it (6 scales => hundreds of MB of
+    program payload); the on-device construction is three cheap passes and
+    leaves the program tiny."""
+    src = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    src = jnp.clip(src, 0.0, float(n_in - 1))  # edge clamp BEFORE the taps
+    lo = jnp.floor(src)
+    frac = (src - lo)[:, None]
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, n_in - 1)
+    return (jax.nn.one_hot(lo_i, n_in, dtype=jnp.float32) * (1.0 - frac)
+            + jax.nn.one_hot(hi_i, n_in, dtype=jnp.float32) * frac)
 
 
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
