@@ -9,6 +9,7 @@ Extra modes (one JSON line each, for NOTES/regression tracking):
   python bench.py train-remat [batch ...]
   python bench.py latency             — batch-1 serving latency (ms/frame)
   python bench.py infer-int8          — int8 PTQ serving path (quant.py)
+  python bench.py infer-fused-tail    — fused FFM+head decoder tail kernels
   python bench.py infer-xla           — force the pure-XLA inference path
   python bench.py infer-fused         — force the fused Pallas early stage
 
@@ -77,6 +78,10 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
 
         def forward(img):
             return q_apply(variables, img, train=False)
+    elif fused == "tail":
+        from cabinet_tpu.models import make_fused_tail_apply
+
+        forward = make_fused_tail_apply(model, variables)
     elif fused:
         from cabinet_tpu.models import make_fused_apply
 
@@ -110,6 +115,7 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
             best, best_batch = ips, batch
 
     tag = ("int8-PTQ" if fused == "int8"
+           else "fused-tail+pallas-attn" if fused == "tail"
            else "fused-early" if fused
            else ("XLA+pallas-attn" if use_pallas else "XLA"))
     return {
@@ -209,14 +215,20 @@ def main() -> None:
     batches = tuple(int(a) for a in args[1:]) or (8, 16, 32)
 
     if mode == "infer":
-        # Headline: XLA convs + fused Pallas CAB attention (the measured
-        # best at batch 128). The Pallas early-stage kernel wins only at
+        # Headline: fused Pallas decoder tail (ops/decoder_tail.py, +7.3%)
+        # + fused Pallas CAB attention over XLA convs — measured best at
+        # batch 128 (1130 vs 1054 img/s), exact bf16 architecture math
+        # (parity-tested). The Pallas early-stage kernel wins only at
         # batch <= 32 (serving regime) — see NOTES.md for the sweep.
-        out = bench_infer(fused=False, use_pallas=True)
+        out = bench_infer(fused="tail", use_pallas=True)
     elif mode == "infer-xla":
         out = bench_infer(fused=False, use_pallas=False)
     elif mode == "infer-fused":
         out = bench_infer(fused=True, use_pallas=False)
+    elif mode == "infer-fused-tail":
+        # Fused FFM+head decoder tail (ops/decoder_tail.py) on top of the
+        # Pallas CAB attention.
+        out = bench_infer(fused="tail", use_pallas=True)
     elif mode == "infer-int8":
         # int8 PTQ serving path (cabinet_tpu/quant.py): MXU convs at 2x the
         # bf16 rate; depthwise/attention stay bf16. Random-data calibration

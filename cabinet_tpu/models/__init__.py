@@ -12,7 +12,11 @@ from cabinet_tpu.models.cabinet import (
     SpatialBranch,
     build_cabinet,
 )
-from cabinet_tpu.models.fused import fused_early_supported, make_fused_apply
+from cabinet_tpu.models.fused import (
+    fused_early_supported,
+    make_fused_apply,
+    make_fused_tail_apply,
+)
 from cabinet_tpu.models.layers import (
     ConvBNReLU,
     DepthwiseConv,
@@ -53,4 +57,5 @@ __all__ = [
     "hard_swish",
     "make_divisible",
     "make_fused_apply",
+    "make_fused_tail_apply",
 ]

@@ -82,3 +82,48 @@ def make_fused_apply(
                            method=CABiNet.forward_from_early)
 
     return forward
+
+
+def make_fused_tail_apply(
+    model: CABiNet, variables: Any, interpret: bool = None
+) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Return `forward(images) -> (final_logits, aux_logits)` with the
+    decoder tail (FFM + output head, 25% of inference time) fused into two
+    Pallas kernels (ops/decoder_tail.py). BN folds once on the host.
+    Inference-only; requires the /8 grid to satisfy fused_tail_supported."""
+    import jax
+
+    from cabinet_tpu.models.cab import resize_bilinear
+    from cabinet_tpu.ops.decoder_tail import (
+        fold_tail_params,
+        fused_ffm_head,
+        fused_tail_supported,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    folded = fold_tail_params(variables, dtype=model.dtype)
+
+    def branches(m, x, train):
+        mob = m.mobile(x, train)
+        feat_sb = m.sb(x, train)
+        low_res, aux = m.ab(mob, train)
+        return feat_sb, low_res, aux
+
+    def forward(images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        H, W = images.shape[1:3]
+        feat_sb, low_res, aux = model.apply(variables, images, False,
+                                            method=branches)
+        sb_hw = feat_sb.shape[1:3]
+        if not fused_tail_supported(*sb_hw):
+            raise ValueError(
+                f"fused decoder tail unsupported for /8 grid {sb_hw}; "
+                "use the standard apply path")
+        fcp = resize_bilinear(low_res, sb_hw)
+        final_small = fused_ffm_head(feat_sb, fcp, folded,
+                                     interpret=interpret)
+        final = resize_bilinear(final_small, (H, W))
+        aux_full = resize_bilinear(resize_bilinear(aux, sb_hw), (H, W))
+        return final, aux_full
+
+    return forward
