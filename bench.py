@@ -78,6 +78,15 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
 
         def forward(img):
             return q_apply(variables, img, train=False)
+    elif fused == "tail-int8":
+        from cabinet_tpu.models import make_fused_tail_apply
+        from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+        calib = jnp.asarray(np.random.default_rng(1).normal(size=(8, H, W, 3)),
+                            jnp.bfloat16)
+        scales = collect_act_scales(model, variables, [calib])
+        forward = make_fused_tail_apply(
+            model, variables, apply_fn=make_quantized_apply(model, scales))
     elif fused == "tail":
         from cabinet_tpu.models import make_fused_tail_apply
 
@@ -114,7 +123,8 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
         if ips > best:
             best, best_batch = ips, batch
 
-    tag = ("int8-PTQ" if fused == "int8"
+    tag = ("fused-tail+int8-branches" if fused == "tail-int8"
+           else "int8-PTQ" if fused == "int8"
            else "fused-tail+pallas-attn" if fused == "tail"
            else "fused-early" if fused
            else ("XLA+pallas-attn" if use_pallas else "XLA"))
@@ -225,6 +235,9 @@ def main() -> None:
         out = bench_infer(fused=False, use_pallas=False)
     elif mode == "infer-fused":
         out = bench_infer(fused=True, use_pallas=False)
+    elif mode == "infer-fused-tail-int8":
+        # Fused decoder tail + int8 PTQ on the branch/backbone MXU convs.
+        out = bench_infer(fused="tail-int8", use_pallas=True)
     elif mode == "infer-fused-tail":
         # Fused FFM+head decoder tail (ops/decoder_tail.py) on top of the
         # Pallas CAB attention.

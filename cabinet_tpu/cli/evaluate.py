@@ -46,10 +46,10 @@ def evaluate_checkpoint(cfg) -> dict:
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
 
-    # Opt-in int8 PTQ serving path: calibrate activation scales on the
-    # first val batches, then evaluate with MXU convs in int8
-    # (cabinet_tpu/quant.py). `+runtime.quantize=int8` on the CLI.
-    apply_fn = model.apply
+    # int8 PTQ serving path (opt-in): calibrate activation scales on the
+    # first val batches, then run MXU convs in int8 (cabinet_tpu/quant.py).
+    # `+runtime.quantize=int8` on the CLI.
+    base_apply = model.apply
     if str(cfg.select("runtime.quantize", "")) == "int8":
         from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
 
@@ -63,10 +63,35 @@ def evaluate_checkpoint(cfg) -> dict:
             img = jnp.asarray(images, common.compute_dtype_of(cfg))
             calib.append(img[:, :crop, :crop, :])
         scales = collect_act_scales(model, variables, calib)
-        apply_fn = make_quantized_apply(model, scales)
+        base_apply = make_quantized_apply(model, scales)
         RichConsoleManager.get_console().print(
             f"[info]int8 PTQ: {len(scales)} convs quantized, "
             f"calibrated on {len(calib)} batches[/info]")
+
+    # Fused Pallas decoder tail (+7.3% measured, exact bf16 architecture
+    # math): auto = on for TPU when the crop's /8 grid is supported.
+    # Composes with int8 (the tail convs never run under the fused path,
+    # so quantization applies to the branch/backbone sites only).
+    apply_fn = base_apply
+    fused_tail = str(cfg.select("runtime.fused_tail", "auto")).lower()
+    if fused_tail in ("auto", "true"):
+        from cabinet_tpu.ops.decoder_tail import fused_tail_supported
+
+        s8 = crop // 8
+        # bf16 only: the kernels' VMEM budget assumes 2-byte feat tiles
+        # (f32 triples the halo blocks past the 16 MB limit).
+        ok = (fused_tail_supported(s8, s8)
+              and common.compute_dtype_of(cfg) == jnp.bfloat16
+              and (fused_tail == "true"
+                   or jax.default_backend() == "tpu"))
+        if ok:
+            from cabinet_tpu.models import make_fused_tail_apply
+
+            fwd = make_fused_tail_apply(model, variables,
+                                        apply_fn=base_apply)
+            apply_fn = lambda v, x, train=False: fwd(x)  # noqa: E731
+            RichConsoleManager.get_console().print(
+                "[info]fused Pallas decoder tail enabled[/info]")
 
     evaluator = MscEval(apply_fn, n_classes,
                         ignore_label=cfg.dataset.ignore_idx,

@@ -85,12 +85,16 @@ def make_fused_apply(
 
 
 def make_fused_tail_apply(
-    model: CABiNet, variables: Any, interpret: bool = None
+    model: CABiNet, variables: Any, interpret: bool = None,
+    apply_fn: Callable = None
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Return `forward(images) -> (final_logits, aux_logits)` with the
     decoder tail (FFM + output head, 25% of inference time) fused into two
     Pallas kernels (ops/decoder_tail.py). BN folds once on the host.
-    Inference-only; requires the /8 grid to satisfy fused_tail_supported."""
+    Inference-only; requires the /8 grid to satisfy fused_tail_supported.
+    `apply_fn` overrides model.apply for the branch computation (e.g. the
+    int8-quantized apply from cabinet_tpu.quant — the tail convs never run
+    in this path, so only backbone/branch sites matter)."""
     import jax
 
     from cabinet_tpu.models.cab import resize_bilinear
@@ -102,6 +106,8 @@ def make_fused_tail_apply(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if apply_fn is None:
+        apply_fn = model.apply
     folded = fold_tail_params(variables, dtype=model.dtype)
 
     def branches(m, x, train):
@@ -112,8 +118,8 @@ def make_fused_tail_apply(
 
     def forward(images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         H, W = images.shape[1:3]
-        feat_sb, low_res, aux = model.apply(variables, images, False,
-                                            method=branches)
+        feat_sb, low_res, aux = apply_fn(variables, images, train=False,
+                                         method=branches)
         sb_hw = feat_sb.shape[1:3]
         if not fused_tail_supported(*sb_hw):
             raise ValueError(
