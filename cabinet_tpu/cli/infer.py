@@ -63,16 +63,26 @@ class Segmenter:
 
         self.batch = max(1, int(batch))
         fused_fwd = None
-        # The fused early stage only pays on real TPU hardware at its
-        # supported (lane-aligned) shapes; anything else uses the XLA path.
-        if (self.batch >= 8 and mode == "large"
-                and jax.default_backend() == "tpu"):
+        if mode == "large" and jax.default_backend() == "tpu":
             from cabinet_tpu.models.fused import (
                 fused_early_supported,
-                make_fused_apply,
+                make_fused_tail_apply,
             )
+            from cabinet_tpu.ops.decoder_tail import fused_tail_supported
 
-            if fused_early_supported((1, imgsz, imgsz, 3)):
+            s8 = imgsz // 8
+            # Fused decoder tail: wins at every batch size (+7.3%).
+            # Fused early stage: only pays at batch >= 8 (NOTES.md sweep).
+            if fused_tail_supported(s8, s8) and dtype == jnp.bfloat16:
+                use_early = (self.batch >= 8
+                             and fused_early_supported((1, imgsz, imgsz, 3)))
+                fused_fwd = make_fused_tail_apply(
+                    self.model, self.variables, interpret=False,
+                    use_early=use_early)
+            elif (self.batch >= 8
+                  and fused_early_supported((1, imgsz, imgsz, 3))):
+                from cabinet_tpu.models.fused import make_fused_apply
+
                 fused_fwd = make_fused_apply(self.model, self.variables,
                                              interpret=False)
 

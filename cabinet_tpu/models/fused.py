@@ -86,7 +86,7 @@ def make_fused_apply(
 
 def make_fused_tail_apply(
     model: CABiNet, variables: Any, interpret: bool = None,
-    apply_fn: Callable = None
+    apply_fn: Callable = None, use_early: bool = False
 ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Return `forward(images) -> (final_logits, aux_logits)` with the
     decoder tail (FFM + output head, 25% of inference time) fused into two
@@ -94,7 +94,9 @@ def make_fused_tail_apply(
     Inference-only; requires the /8 grid to satisfy fused_tail_supported.
     `apply_fn` overrides model.apply for the branch computation (e.g. the
     int8-quantized apply from cabinet_tpu.quant — the tail convs never run
-    in this path, so only backbone/branch sites matter)."""
+    in this path, so only backbone/branch sites matter). `use_early=True`
+    additionally routes the stem+block_0 through the fused early-stage
+    kernel (the batch>=8 serving regime, 1.41x on that subgraph)."""
     import jax
 
     from cabinet_tpu.models.cab import resize_bilinear
@@ -109,6 +111,10 @@ def make_fused_tail_apply(
     if apply_fn is None:
         apply_fn = model.apply
     folded = fold_tail_params(variables, dtype=model.dtype)
+    early_folded = None
+    if use_early:
+        early_folded = fold_stem_block0_params(
+            variables["params"]["mobile"], variables["batch_stats"]["mobile"])
 
     def branches(m, x, train):
         mob = m.mobile(x, train)
@@ -116,10 +122,25 @@ def make_fused_tail_apply(
         low_res, aux = m.ab(mob, train)
         return feat_sb, low_res, aux
 
+    def branches_from_early(m, x, early, train):
+        mob = m.mobile.tail(early, train)
+        feat_sb = m.sb(x, train)
+        low_res, aux = m.ab(mob, train)
+        return feat_sb, low_res, aux
+
     def forward(images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         H, W = images.shape[1:3]
-        feat_sb, low_res, aux = apply_fn(variables, images, train=False,
-                                         method=branches)
+        if early_folded is not None and fused_early_supported(
+                images.shape, interpret=interpret):
+            planes = fused_stem_block0(images, *early_folded,
+                                       interpret=interpret)
+            early = planes.transpose(0, 2, 3, 1).astype(model.dtype)
+            feat_sb, low_res, aux = apply_fn(variables, images, early,
+                                             train=False,
+                                             method=branches_from_early)
+        else:
+            feat_sb, low_res, aux = apply_fn(variables, images, train=False,
+                                             method=branches)
         sb_hw = feat_sb.shape[1:3]
         if not fused_tail_supported(*sb_hw):
             raise ValueError(

@@ -88,3 +88,21 @@ def test_supported_predicate():
     assert not fused_tail_supported(128, 64)
     assert not fused_tail_supported(16, 16)   # needs >= 2 row tiles
     assert not fused_tail_supported(272, 272)  # plane exceeds VMEM budget
+
+
+def test_fused_tail_with_early_stage_composes(setup):
+    """use_early=True routes stem+block_0 through the early-stage kernel
+    and the tail through the decoder kernels — the full serving path."""
+    model, variables = setup
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.normal(size=(1, 256, 256, 3)).astype(np.float32))
+    ref_final, _ = model.apply(variables, images, train=False)
+
+    from cabinet_tpu.models.fused import make_fused_tail_apply
+
+    forward = make_fused_tail_apply(model, variables, interpret=True,
+                                    use_early=True)
+    out_final, _ = forward(images)
+    err = float(jnp.max(jnp.abs(out_final - ref_final)))
+    scale = float(jnp.max(jnp.abs(ref_final))) + 1e-6
+    assert err < 5e-4 * scale, f"max err {err} vs scale {scale}"
