@@ -117,6 +117,31 @@ def warm_start(variables: Any, checkpoint_path: str, cfgs) -> Any:
     return merge_variables(variables, loaded, match_shapes=True)
 
 
+def make_loader(cfg: Config, dataset: Any, batch_size: int, *,
+                shuffle: bool = False, drop_last: bool = False,
+                num_workers: int = 4, seed: int = 0,
+                shard: Any = None) -> Any:
+    """Input-pipeline factory honoring the ``runtime.loader`` knob:
+    ``thread`` (default, data/loader.py) or ``grain`` (worker processes —
+    the analog of the reference's DataLoader workers,
+    src/scripts/train.py:248-275)."""
+    kind = str(cfg.select("runtime.loader", "thread")).lower()
+    if kind == "grain":
+        from cabinet_tpu.data.grain_loader import GrainLoader
+
+        return GrainLoader(dataset, batch_size, shuffle=shuffle,
+                           drop_last=drop_last, num_workers=num_workers,
+                           seed=seed, shard=shard)
+    if kind != "thread":
+        raise ConfigurationError(
+            f"runtime.loader must be 'thread' or 'grain', got {kind!r}")
+    from cabinet_tpu.data.loader import DataLoader
+
+    return DataLoader(dataset, batch_size, shuffle=shuffle,
+                      drop_last=drop_last, num_workers=num_workers,
+                      seed=seed, shard=shard)
+
+
 def eval_tile_mesh(cfg: Config, mesh: Any = None) -> Any:
     """Mesh for tile-parallel eval (MscEval tile_mesh) when more than one
     device sits on the data axis; runtime.tile_parallel_eval=false opts out."""

@@ -21,7 +21,6 @@ def evaluate_checkpoint(cfg) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from cabinet_tpu.data.loader import DataLoader
     from cabinet_tpu.eval.evaluator import MscEval
 
     split = cfg.get("split", "val")
@@ -34,7 +33,8 @@ def evaluate_checkpoint(cfg) -> dict:
     vc = cfg.validation_config
     (dataset,) = common.build_datasets(cfg, [split])
     common.guard_val_batch(cfg, dataset, vc.batch_size)
-    dl = DataLoader(dataset, vc.batch_size, num_workers=vc.num_workers)
+    dl = common.make_loader(cfg, dataset, vc.batch_size,
+                            num_workers=vc.num_workers)
 
     n_classes = cfg.dataset.num_classes
     model = common.build_model(cfg, n_classes)
@@ -80,11 +80,15 @@ def evaluate_checkpoint(cfg) -> dict:
         s8 = crop // 8
         # bf16 only: the kernels' VMEM budget assumes 2-byte feat tiles
         # (f32 triples the halo blocks past the 16 MB limit).
-        ok = (fused_tail_supported(s8, s8)
-              and common.compute_dtype_of(cfg) == jnp.bfloat16
-              and (fused_tail == "true"
-                   or jax.default_backend() == "tpu"))
-        if ok:
+        why = None
+        if not fused_tail_supported(s8, s8, n_classes):
+            why = (f"crop/8 grid {s8}x{s8} with {n_classes} classes is "
+                   f"outside kernel support")
+        elif common.compute_dtype_of(cfg) != jnp.bfloat16:
+            why = "requires runtime.compute_dtype=bfloat16"
+        elif fused_tail != "true" and jax.default_backend() != "tpu":
+            why = "auto mode enables only on TPU"
+        if why is None:
             from cabinet_tpu.models import make_fused_tail_apply
 
             fwd = make_fused_tail_apply(model, variables,
@@ -92,6 +96,13 @@ def evaluate_checkpoint(cfg) -> dict:
             apply_fn = lambda v, x, train=False: fwd(x)  # noqa: E731
             RichConsoleManager.get_console().print(
                 "[info]fused Pallas decoder tail enabled[/info]")
+        elif fused_tail == "true":
+            # The user EXPLICITLY asked for the fused path — a silent XLA
+            # fallback would mislabel any measurement taken (ADVICE r2).
+            raise ConfigurationError(
+                f"runtime.fused_tail=true but the fused decoder tail cannot "
+                f"be enabled: {why}. Drop the setting (or fix the config) to "
+                f"run the XLA path.")
 
     evaluator = MscEval(apply_fn, n_classes,
                         ignore_label=cfg.dataset.ignore_idx,

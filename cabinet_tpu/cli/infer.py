@@ -73,7 +73,8 @@ class Segmenter:
             s8 = imgsz // 8
             # Fused decoder tail: wins at every batch size (+7.3%).
             # Fused early stage: only pays at batch >= 8 (NOTES.md sweep).
-            if fused_tail_supported(s8, s8) and dtype == jnp.bfloat16:
+            if (fused_tail_supported(s8, s8, self.n_classes)
+                    and dtype == jnp.bfloat16):
                 use_early = (self.batch >= 8
                              and fused_early_supported((1, imgsz, imgsz, 3)))
                 fused_fwd = make_fused_tail_apply(

@@ -55,9 +55,9 @@ def train_and_evaluate(cfg) -> dict:
 
     shard = ((jax.process_index(), jax.process_count())
              if jax.process_count() > 1 else None)
-    dl_train = DataLoader(ds_train, tc.batch_size, shuffle=True, drop_last=True,
-                          num_workers=tc.num_workers, seed=cfg.runtime.seed,
-                          shard=shard)
+    dl_train = common.make_loader(cfg, ds_train, tc.batch_size, shuffle=True,
+                                  drop_last=True, num_workers=tc.num_workers,
+                                  seed=cfg.runtime.seed, shard=shard)
     dl_val = DataLoader(ds_val, vc.batch_size, num_workers=vc.num_workers)
 
     # ---- model ----------------------------------------------------------

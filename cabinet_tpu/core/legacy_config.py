@@ -68,7 +68,18 @@ _VALIDATION_KEYS = {
 
 
 def _fmt(value: Any) -> str:
-    """Render a JSON value as a CLI-override literal the composer parses back."""
+    """Render a JSON value as a CLI-override literal the composer parses back.
+
+    Floats are rendered in non-exponent decimal: ``str(1e-5)`` is ``'1e-05'``,
+    which the YAML 1.1 float regex (requires a dot in the mantissa) parses
+    back as a STRING — ``warmup_start_lr`` from both shipped legacy JSONs
+    would land in the config as ``str`` (ADVICE r2). ``Decimal(repr(v))``
+    keeps the shortest-repr digits exactly.
+    """
+    if isinstance(value, float):
+        from decimal import Decimal
+
+        return format(Decimal(repr(value)), "f")
     return json.dumps(value) if isinstance(value, (list, bool)) else str(value)
 
 

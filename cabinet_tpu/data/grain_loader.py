@@ -68,3 +68,64 @@ def make_grain_loader(
             yield batch["image"], batch["label"]
 
     return as_tuples()
+
+
+class GrainLoader:
+    """Drop-in replacement for ``data.loader.DataLoader`` backed by grain
+    worker PROCESSES (the reference trains through torch DataLoader worker
+    processes, src/scripts/train.py:248-275; the thread loader is GIL-bound
+    for PIL augmentation on multicore hosts).
+
+    Same contract as the thread loader where ``cli.train``/``cli.evaluate``
+    use it: ``len()`` = batches per epoch, ``set_epoch(e)`` reshuffles
+    deterministically from (seed, epoch), and each ``__iter__`` yields one
+    epoch of (images (B,H,W,3) f32, labels (B,H,W) i64) numpy batches —
+    re-iterable (the int8-calibration + evaluate double pass). A fresh grain
+    DataLoader is built per pass so the per-epoch seed and any
+    ``dataset.set_epoch`` augmentation state are captured at worker-spawn
+    time. Selected via the ``runtime.loader=grain`` config knob.
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        shard: Optional[Tuple[int, int]] = None,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = int(num_workers)
+        self.seed = int(seed)
+        self.shard = shard
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.shard is not None:
+            n = n // self.shard[1]  # drop_remainder sharding
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return make_grain_loader(
+            self.dataset,
+            self.batch_size,
+            shuffle=self.shuffle,
+            num_epochs=1,
+            seed=self.seed + self._epoch,
+            num_workers=self.num_workers,
+            drop_remainder=self.drop_last,
+            shard_by_process=self.shard is not None,
+        )

@@ -142,7 +142,7 @@ def make_fused_tail_apply(
             feat_sb, low_res, aux = apply_fn(variables, images, train=False,
                                              method=branches)
         sb_hw = feat_sb.shape[1:3]
-        if not fused_tail_supported(*sb_hw):
+        if not fused_tail_supported(*sb_hw, folded["n_classes"]):
             raise ValueError(
                 f"fused decoder tail unsupported for /8 grid {sb_hw}; "
                 "use the standard apply path")

@@ -39,6 +39,15 @@ ROW_TILE = 16
 LANES = 128
 
 
+def _row_tile(s: int) -> int:
+    """Largest divisor of S in [4, ROW_TILE] (0 if none): S=128 -> 16,
+    S=90 (720^2 inputs, AeroScapes serving) -> 15, S=40 -> 10."""
+    for rt in range(min(ROW_TILE, s // 2), 3, -1):
+        if s % rt == 0:
+            return rt
+    return 0
+
+
 def _fold_bn(kernel: jnp.ndarray, bn_params: Any, bn_stats: Any,
              eps: float = 1e-5) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold BatchNorm into a bias-free conv: returns (W_folded, bias)."""
@@ -61,6 +70,11 @@ def fold_tail_params(variables: Any, dtype: Any = jnp.bfloat16
                       p["conv_out"]["conv"]["bn"], s["conv_out"]["conv"]["bn"])
     wc = p["conv_out"]["conv_out"]["kernel"]  # (1,1,256,n_classes)
     n_classes = wc.shape[-1]
+    if n_classes > LANES:
+        raise ValueError(
+            f"fused decoder tail supports at most {LANES} classes "
+            f"(classifier is padded into one {LANES}-lane block); got "
+            f"{n_classes} — use the XLA path")
     wc_pad = jnp.zeros((wc.shape[2], LANES), wc.dtype)
     wc_pad = wc_pad.at[:, :n_classes].set(wc.reshape(wc.shape[2], n_classes))
 
@@ -101,37 +115,44 @@ def _k2_kernel(prev_ref, cur_ref, next_ref, scale_ref, w3_ref, b3_ref,
     steps replace the out-of-image halo rows with zeros."""
     r = pl.program_id(1)
     n_rt = pl.num_programs(1)
+    rt = cur_ref.shape[1]  # row-tile height (16, or a divisor of S like 15)
     S = cur_ref.shape[2]
     C = cur_ref.shape[3]
     s = scale_ref[0, 0].astype(cur_ref.dtype)  # (256,) channel scale
     b3 = b3_ref[0]
 
-    top = prev_ref[0, ROW_TILE - 1:ROW_TILE]          # last row of prev tile
+    top = prev_ref[0, rt - 1:rt]                      # last row of prev tile
     bot = next_ref[0, 0:1]                            # first row of next tile
     top = jnp.where(r == 0, jnp.zeros_like(top), top)
     bot = jnp.where(r == n_rt - 1, jnp.zeros_like(bot), bot)
-    rows = jnp.concatenate([top, cur_ref[0], bot], axis=0)  # (18, S, C)
+    rows = jnp.concatenate([top, cur_ref[0], bot], axis=0)  # (rt+2, S, C)
     rows = rows * s  # feat*atten + feat == feat * (sigmoid(..)+1)
-    padded = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)))  # (18, S+2, C)
+    padded = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)))  # (rt+2, S+2, C)
 
-    acc = jnp.zeros((ROW_TILE * S, C), jnp.float32)
+    acc = jnp.zeros((rt * S, C), jnp.float32)
     for di in range(3):
         for dj in range(3):
-            window = padded[di:di + ROW_TILE, dj:dj + S, :]
+            window = padded[di:di + rt, dj:dj + S, :]
             acc = acc + jax.lax.dot_general(
-                window.reshape(ROW_TILE * S, C), w3_ref[di * 3 + dj],
+                window.reshape(rt * S, C), w3_ref[di * 3 + dj],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     y = jnp.maximum(acc + b3, 0.0).astype(cur_ref.dtype)
     logits = jax.lax.dot_general(y, wc_ref[:], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    out_ref[0] = logits.reshape(ROW_TILE, S, LANES).astype(out_ref.dtype)
+    out_ref[0] = logits.reshape(rt, S, LANES).astype(out_ref.dtype)
 
 
-def fused_tail_supported(s_h: int, s_w: int) -> bool:
-    """K2 holds the (S,S,256) plane in VMEM and tiles rows by 16."""
-    return (s_h == s_w and s_h % ROW_TILE == 0 and s_h >= 2 * ROW_TILE
-            and s_h * s_w * 256 * 2 <= 12 * 2 ** 20)
+def fused_tail_supported(s_h: int, s_w: int, n_classes: int = None) -> bool:
+    """Square /8 grid with a workable row tile (a divisor of S in [4,16] —
+    1024^2 -> S=128/rt 16, 720^2 -> S=90/rt 15), a plane inside the VMEM
+    budget, and (when given) n_classes within the 128-lane classifier pad
+    (`fold_tail_params` writes wc into a (256, LANES) block — more classes
+    would shape-error instead of falling back, ADVICE r2)."""
+    rt = _row_tile(s_h)
+    return (s_h == s_w and rt > 0 and s_h >= 2 * rt
+            and s_h * s_w * 256 * 2 <= 12 * 2 ** 20
+            and (n_classes is None or n_classes <= LANES))
 
 
 def fused_ffm_head(fsp: jnp.ndarray, fcp: jnp.ndarray,
@@ -139,18 +160,19 @@ def fused_ffm_head(fsp: jnp.ndarray, fcp: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
     """(B,S,S,128) + (B,S,S,256) -> (B,S,S,n_classes) logits, fused."""
     B, S, _, _ = fsp.shape
-    if not fused_tail_supported(S, fcp.shape[2]):
+    if not fused_tail_supported(S, fcp.shape[2], folded["n_classes"]):
         raise ValueError(f"fused tail unsupported for S={S}")
-    n_rt = S // ROW_TILE
+    rt = _row_tile(S)
+    n_rt = S // rt
     dtype = fcp.dtype
 
     feat, sums = pl.pallas_call(
         _k1_kernel,
         grid=(B, n_rt),
         in_specs=[
-            pl.BlockSpec((1, ROW_TILE, S, 128), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, rt, S, 128), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_TILE, S, 256), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, rt, S, 256), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 256), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -160,7 +182,7 @@ def fused_ffm_head(fsp: jnp.ndarray, fcp: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ROW_TILE, S, 256), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, rt, S, 256), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_rt, 256), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -183,7 +205,7 @@ def fused_ffm_head(fsp: jnp.ndarray, fcp: jnp.ndarray,
     scale = jax.nn.sigmoid(a @ folded["w_se2"]) + 1.0     # (B, 256)
 
     feat_tile = lambda fn: pl.BlockSpec(
-        (1, ROW_TILE, S, 256), lambda b, r: (b, fn(r), 0, 0),
+        (1, rt, S, 256), lambda b, r: (b, fn(r), 0, 0),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _k2_kernel,
@@ -201,7 +223,7 @@ def fused_ffm_head(fsp: jnp.ndarray, fcp: jnp.ndarray,
             pl.BlockSpec((256, LANES), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ROW_TILE, S, LANES),
+        out_specs=pl.BlockSpec((1, rt, S, LANES),
                                lambda b, r: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, S, LANES), dtype),

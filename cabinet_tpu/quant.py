@@ -41,15 +41,27 @@ from jax import lax
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+# nn.Conv module names of the class-logit projections (quality-critical,
+# negligible FLOPs): CABiNet's main head `conv_out/conv_out` and aux head
+# `ab/b4` (models/cabinet.py), YOLO-sem's `classifier`/`aux_classifier`
+# (models/yolosem.py). Matched by the conv's own name — the inner convs of
+# ConvBNReLU blocks that happen to live under a module *named* conv_out are
+# called `conv` and pass.
+_HEAD_CONV_NAMES = frozenset({"conv_out", "b4", "classifier", "aux_classifier"})
+
+
 def default_site_predicate(path: Tuple[str, ...], kernel_shape) -> bool:
     """Quantize convs that actually ride the MXU: both channel dims >= 16.
 
     Skips the 3-channel stems (input range is data-dependent and the convs
     are tiny), the n_classes classifier heads (quality-critical, negligible
-    FLOPs), and — because only `nn.Conv` is intercepted — all depthwise
-    convs (`DepthwiseConv2D` is a separate module; VPU-bound, int8 gains
-    nothing there).
+    FLOPs — excluded BY NAME, not by width, so they stay float even on
+    >=16-class datasets like Cityscapes), and — because only `nn.Conv` is
+    intercepted — all depthwise convs (`DepthwiseConv2D` is a separate
+    module; VPU-bound, int8 gains nothing there).
     """
+    if path and path[-1] in _HEAD_CONV_NAMES:
+        return False
     kh, kw, cin, cout = kernel_shape
     return cin >= 16 and cout >= 16
 

@@ -148,3 +148,22 @@ def test_train_cli_with_device_augs(tiny_run):
     ])
     results = train_and_evaluate(cfg)
     assert np.isfinite(results["final"]["mIoU"])
+
+
+def test_train_cli_with_grain_loader(tiny_run):
+    """runtime.loader=grain: the trainer runs one epoch with the grain
+    multiprocess input pipeline feeding REAL worker processes (the
+    reference's DataLoader-worker analog, src/scripts/train.py:248-275)."""
+    pytest.importorskip("grain")
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides + [
+        "runtime.loader=grain",
+        "training_config.num_workers=1",
+        f"training_config.experiments_path={exp.parent / 'exp_grain'}",
+        "training_config.epochs=1",
+    ])
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (exp.parent / "exp_grain" / "checkpoint_last").exists()

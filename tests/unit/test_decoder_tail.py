@@ -84,10 +84,45 @@ def test_fused_tail_full_forward_parity(setup):
 def test_supported_predicate():
     assert fused_tail_supported(128, 128)   # 1024^2 input
     assert fused_tail_supported(32, 32)
-    assert not fused_tail_supported(90, 90)   # 720^2: not a multiple of 16
+    assert fused_tail_supported(90, 90)     # 720^2 (AeroScapes): rt=15
+    assert fused_tail_supported(16, 16)     # 128^2: rt=8, 2 row tiles
     assert not fused_tail_supported(128, 64)
-    assert not fused_tail_supported(16, 16)   # needs >= 2 row tiles
+    assert not fused_tail_supported(6, 6)     # no workable row tile
     assert not fused_tail_supported(272, 272)  # plane exceeds VMEM budget
+    # a prime S has no workable row tile
+    assert not fused_tail_supported(127, 127)
+    # classifier pads into one 128-lane block; more classes must fall back
+    assert fused_tail_supported(128, 128, 128)
+    assert not fused_tail_supported(128, 128, 129)
+
+
+def test_row_tile_selection():
+    from cabinet_tpu.ops.decoder_tail import _row_tile
+
+    assert _row_tile(128) == 16
+    assert _row_tile(90) == 15
+    assert _row_tile(40) == 10
+    assert _row_tile(127) == 0
+
+
+def test_fused_tail_s90_matches_flax_modules(setup):
+    """720^2-input grid (S=90, row tile 15 — the AeroScapes serving shape
+    that silently fell back in r2)."""
+    model, variables = setup
+    rng = np.random.default_rng(7)
+    feat_sb = jnp.asarray(rng.normal(size=(1, 90, 90, 128)).astype(np.float32))
+    fcp = jnp.asarray(rng.normal(size=(1, 90, 90, 256)).astype(np.float32))
+
+    def ref_meth(m, a, b, train):
+        return m.conv_out(m.ffm(a, b, train), train)
+
+    ref = model.apply(variables, feat_sb, fcp, False, method=ref_meth)
+    folded = fold_tail_params(variables, dtype=jnp.float32)
+    out = fused_ffm_head(feat_sb, fcp, folded, interpret=True)
+    assert out.shape == ref.shape
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err < 2e-4 * scale, f"max err {err} vs scale {scale}"
 
 
 def test_fused_tail_with_early_stage_composes(setup):

@@ -86,3 +86,12 @@ def test_overrides_round_trip_values():
     assert "model=mobilenetv3_small" in ovs
     assert "training_config.optimizer_weight_decay=0.0005" in ovs
     assert 'validation_config.flip=true' in ovs
+    # floats render in decimal form (str(1e-5)='1e-05' would YAML-parse back
+    # as a string — ADVICE r2); the composed value must be a float again
+    assert "training_config.warmup_start_lr=0.00001" in ovs
+
+
+def test_legacy_floats_compose_as_floats():
+    cfg = load_legacy_config(REPO_ROOT / "legacy" / "train_uavid.json")
+    assert isinstance(cfg.training_config.warmup_start_lr, float)
+    assert cfg.training_config.warmup_start_lr == pytest.approx(1e-5)

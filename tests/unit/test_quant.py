@@ -109,3 +109,28 @@ def test_site_predicate_contract():
     assert default_site_predicate(("x",), (3, 3, 256, 256))
     assert not default_site_predicate(("x",), (7, 7, 3, 64))    # 3-ch input
     assert not default_site_predicate(("x",), (1, 1, 256, 8))   # class head
+    # classifier heads stay float EVEN when cout >= 16 (e.g. Cityscapes 19):
+    # matched by conv name, not width
+    assert not default_site_predicate(("conv_out", "conv_out"), (1, 1, 256, 19))
+    assert not default_site_predicate(("ab", "b4"), (1, 1, 128, 19))
+    assert not default_site_predicate(("classifier",), (1, 1, 256, 19))
+    assert not default_site_predicate(("aux_classifier",), (1, 1, 256, 19))
+    # ...but ConvBNReLU blocks under a module *named* conv_out still quantize
+    assert default_site_predicate(("conv_out", "conv", "conv"), (3, 3, 256, 256))
+
+
+def test_wide_class_heads_stay_float():
+    """A >=16-class model (the Cityscapes regime) must not calibrate its
+    class-logit heads — they pass the old cout>=16 width check but are
+    excluded by name (ADVICE r2, medium)."""
+    model = CABiNet(n_classes=19, mode="small", cfgs=CFGS)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    batch = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 64, 64, 3)).astype(np.float32))
+    scales = collect_act_scales(model, variables, [batch])
+    assert scales
+    assert "conv_out/conv_out" not in scales
+    assert not any(key.endswith("b4") for key in scales)
+    # the pre-head 3x3 ConvBNReLU still quantizes
+    assert any("conv_out/conv" in key for key in scales)
