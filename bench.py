@@ -327,7 +327,10 @@ def bench_eval4k() -> dict:
     fwd = make_fused_tail_apply(model, variables)
     ev = MscEval(lambda v, x, train=False: fwd(x), n_classes=8,
                  scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True,
-                 cropsize=1024, compute_dtype=jnp.bfloat16)
+                 cropsize=1024, compute_dtype=jnp.bfloat16,
+                 # measured winners (NOTES r3): 64-tile fold (bit-identical
+                 # argmax) + bf16 accumulation (auto under bf16 compute)
+                 tile_batch=64)
     rng = np.random.default_rng(0)
     images = jax.device_put(jnp.asarray(rng.normal(size=(1, EH, EW, 3)),
                                         jnp.bfloat16))

@@ -142,6 +142,32 @@ def make_loader(cfg: Config, dataset: Any, batch_size: int, *,
                       seed=seed, shard=shard)
 
 
+def eval_tile_batch(cfg: Config) -> int:
+    """Tiles folded into one sliding-window forward (runtime.eval_tile_batch;
+    0 = auto: 64 on TPU — measured 9% faster at 4K with bit-identical
+    argmax — 16 elsewhere)."""
+    import jax
+
+    v = int(cfg.select("runtime.eval_tile_batch", 0))
+    if v:
+        return v
+    return 64 if jax.default_backend() == "tpu" else 16
+
+
+def eval_acc_dtype(cfg: Config) -> Any:
+    """Probability-accumulation dtype (runtime.eval_acc_dtype):
+    auto (None -> MscEval follows compute_dtype) | float32 | bfloat16."""
+    import jax.numpy as jnp
+
+    s = str(cfg.select("runtime.eval_acc_dtype", "auto")).lower()
+    try:
+        return {"auto": None, "float32": jnp.float32,
+                "bfloat16": jnp.bfloat16}[s]
+    except KeyError:
+        raise ConfigurationError(
+            f"runtime.eval_acc_dtype must be auto|float32|bfloat16, got {s!r}")
+
+
 def eval_tile_mesh(cfg: Config, mesh: Any = None) -> Any:
     """Mesh for tile-parallel eval (MscEval tile_mesh) when more than one
     device sits on the data axis; runtime.tile_parallel_eval=false opts out."""

@@ -113,7 +113,9 @@ def evaluate_checkpoint(cfg) -> dict:
                         # strict native-resolution protocol by default;
                         # opt into bucketing with validation_config.eval_pad_to
                         pad_to=cfg.select("validation_config.eval_pad_to",
-                                          None))
+                                          None),
+                        tile_batch=common.eval_tile_batch(cfg),
+                        acc_dtype=common.eval_acc_dtype(cfg))
     return evaluator.evaluate(variables, dl, progress=True)
 
 

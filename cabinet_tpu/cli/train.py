@@ -166,7 +166,9 @@ def train_and_evaluate(cfg) -> dict:
                         scales=(1.0,), flip=False, cropsize=max(crop_h, crop_w),
                         compute_dtype=common.compute_dtype_of(cfg),
                         tile_mesh=common.eval_tile_mesh(cfg, mesh),
-                        pad_to=common.eval_pad_to(cfg))
+                        pad_to=common.eval_pad_to(cfg),
+                        tile_batch=common.eval_tile_batch(cfg),
+                        acc_dtype=common.eval_acc_dtype(cfg))
 
     def put(batch):
         imgs, lbs = batch
@@ -251,7 +253,9 @@ def train_and_evaluate(cfg) -> dict:
                          # strict native-resolution protocol for the final
                          # (reported) number; buckets only if explicitly set
                          pad_to=cfg.select("validation_config.eval_pad_to",
-                                           None))
+                                           None),
+                         tile_batch=common.eval_tile_batch(cfg),
+                         acc_dtype=common.eval_acc_dtype(cfg))
     res = final_eval.evaluate(state.ema_variables, dl_val, progress=True)
     logger.info(f"Final multi-scale mIoU: {res['mIoU']:.4f} "
                 f"acc {res['accuracy']:.4f}")

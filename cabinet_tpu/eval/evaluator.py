@@ -73,16 +73,23 @@ TILE_BATCH = 16  # tiles folded into one model forward (dataset batch x tiles)
 
 
 def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
-                   variables: Any, image: jnp.ndarray) -> jnp.ndarray:
+                   variables: Any, image: jnp.ndarray,
+                   tile_batch: int = TILE_BATCH,
+                   acc_dtype: Any = jnp.float32) -> jnp.ndarray:
     """Overlap-normalized probability map at the image's own resolution.
 
     `image` is NHWC with H,W static for this trace.
 
-    Tiles are BATCHED through the model (groups of up to TILE_BATCH // B per
+    Tiles are BATCHED through the model (groups of up to tile_batch // B per
     forward): eval batch sizes are 1-2, and a batch-1 forward runs ~4x below
     the chip's large-batch throughput, so folding the tile dimension into the
     batch dimension recovers most of it. Extraction/accumulation stay as
     dynamic slices over the static grid.
+
+    acc_dtype=bf16 halves the HBM traffic of the probability accumulation
+    (the maps dominate the protocol's non-model time at 4K) — on by default
+    only for bf16 compute, where the model logits already carry bf16 noise;
+    f32 compute keeps the reference-exact f32 chain (parity suites).
     """
     B, H, W, _ = image.shape
 
@@ -94,9 +101,9 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                                 (wst, full_w - W - wst), (0, 0)))
 
     grid = tile_grid(full_h, full_w, crop)
-    group = max(TILE_BATCH // B, 1)
+    group = max(tile_batch // B, 1)
 
-    prob = jnp.zeros((B, full_h, full_w, n_classes), jnp.float32)
+    prob = jnp.zeros((B, full_h, full_w, n_classes), acc_dtype)
     count = jnp.zeros((full_h, full_w), jnp.float32)
     ones = jnp.ones((crop, crop), jnp.float32)
 
@@ -107,7 +114,7 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                                   (B, crop, crop, image.shape[-1]))
             for (y, x) in chunk
         ], axis=0)  # (len(chunk)*B, crop, crop, C)
-        cps = _chip_probs(apply_fn, variables, chips, flip)
+        cps = _chip_probs(apply_fn, variables, chips, flip).astype(acc_dtype)
         for i, (y, x) in enumerate(chunk):
             cp = jax.lax.dynamic_slice(
                 cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
@@ -117,7 +124,9 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
             ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
             count = jax.lax.dynamic_update_slice(count, ccur + ones, (y, x))
 
-    prob = prob / jnp.maximum(count, 1.0)[None, :, :, None]
+    # true division (not reciprocal-multiply): the f32 path must stay
+    # bit-identical to the reference's `prob /= count`
+    prob = prob / jnp.maximum(count, 1.0).astype(acc_dtype)[None, :, :, None]
 
     if (full_h, full_w) != (H, W):
         prob = jax.lax.dynamic_slice(prob, (0, hst, wst, 0), (B, H, W, n_classes))
@@ -193,7 +202,8 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
 
 def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                  scale: float, variables: Any, image: jnp.ndarray,
-                 tile_mesh=None) -> jnp.ndarray:
+                 tile_mesh=None, tile_batch: int = TILE_BATCH,
+                 acc_dtype: Any = jnp.float32) -> jnp.ndarray:
     B, H, W, C = image.shape
     sh, sw = int(H * scale), int(W * scale)
     # resize_bilinear: separable-matmul upsampling (5x over the gather
@@ -205,7 +215,10 @@ def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                                            tile_mesh, variables, scaled)
     else:
         prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables,
-                              scaled)
+                              scaled, tile_batch=tile_batch,
+                              acc_dtype=acc_dtype)
+    # bf16 maps ride the separable-matmul resize on the bf16 MXU (4x the
+    # f32 rate) with f32 accumulation inside the einsum.
     return resize_bilinear(prob, (H, W))
 
 
@@ -227,6 +240,8 @@ class MscEval:
         compute_dtype: Any = jnp.float32,
         tile_mesh: Any = None,
         pad_to: Any = None,
+        tile_batch: int = TILE_BATCH,
+        acc_dtype: Any = None,
     ) -> None:
         self.apply_fn = apply_fn
         self.n_classes = n_classes
@@ -235,6 +250,22 @@ class MscEval:
         self.flip = flip
         self.cropsize = cropsize
         self.compute_dtype = compute_dtype
+        # tiles folded into one model forward (x2 under flip TTA): batch-16
+        # forwards run well below the chip's large-batch throughput, so a
+        # bigger fold amortizes better when HBM allows. Measured at 4K:
+        # 64 is 9% faster than 16 with BIT-IDENTICAL argmax (batching does
+        # not change per-chip math); CLIs pass 64 on TPU.
+        self.tile_batch = int(tile_batch)
+        # probability-map accumulation dtype. None => follow compute_dtype:
+        # f32 compute keeps the reference-exact f32 chain (parity suites
+        # assert bit-exact confusion matrices); bf16 compute accumulates in
+        # bf16 — the maps dominate non-model HBM traffic at 4K (measured
+        # 0.768 -> 0.631 s/img at 4K alone, and argmax agreement 99.985%
+        # vs f32 accumulation on the random-weight worst case; trained
+        # models have far larger margins).
+        self.acc_dtype = (jnp.bfloat16 if (acc_dtype is None
+                                           and compute_dtype == jnp.bfloat16)
+                          else (acc_dtype or jnp.float32))
         # Optional jax Mesh: shard each image's TILE GRID over the data axis
         # (context-parallel eval of huge images; psum-ed accumulation).
         self.tile_mesh = tile_mesh
@@ -248,6 +279,7 @@ class MscEval:
         # to noise level, but not bit-exactly; leave unset for strict parity.
         self.pad_to = None if pad_to is None else (int(pad_to[0]), int(pad_to[1]))
         self._progs: Dict[Tuple[int, int, int], Callable] = {}
+        self._prob_progs: Dict[Tuple[int, int, int], Callable] = {}
 
     def _pad_to_bucket(self, images: np.ndarray, labels: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
@@ -280,20 +312,57 @@ class MscEval:
         apply_fn, ignore = self.apply_fn, self.ignore_label
         dtype = self.compute_dtype
         tile_mesh = self.tile_mesh
+        tile_batch, acc_dtype = self.tile_batch, self.acc_dtype
 
         @jax.jit
         def run(variables, images, labels):
             images = images.astype(dtype)
+            # native accumulator stays f32 (sum of <=6 maps, cheap traffic)
             probs = jnp.zeros((B, H, W, n_classes), jnp.float32)
             for s in scales:
                 probs = probs + _scale_probs(apply_fn, n_classes, crop, flip,
-                                             s, variables, images, tile_mesh)
+                                             s, variables, images, tile_mesh,
+                                             tile_batch, acc_dtype)
             preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)
             hist = confusion_matrix(preds, labels, n_classes, ignore)
             return preds, hist
 
         self._progs[key] = run
         return run
+
+    def _program_probs(self, B: int, H: int, W: int) -> Callable:
+        """Jitted (variables, images) -> summed multi-scale probability map."""
+        key = (B, H, W)
+        if key not in self._prob_progs:
+            scales, n_classes = self.scales, self.n_classes
+            crop, flip = self.cropsize, self.flip
+            apply_fn, dtype = self.apply_fn, self.compute_dtype
+            tile_mesh = self.tile_mesh
+            tile_batch, acc_dtype = self.tile_batch, self.acc_dtype
+
+            @jax.jit
+            def run(variables, images):
+                images = images.astype(dtype)
+                probs = jnp.zeros((B, H, W, n_classes), jnp.float32)
+                for s in scales:
+                    probs = probs + _scale_probs(apply_fn, n_classes, crop,
+                                                 flip, s, variables, images,
+                                                 tile_mesh, tile_batch,
+                                                 acc_dtype)
+                return probs
+
+            self._prob_progs[key] = run
+        return self._prob_progs[key]
+
+    def prob_batch(self, variables: Any, images: np.ndarray) -> np.ndarray:
+        """Summed multi-scale probability map (B,H,W,C) — exactly the tensor
+        the protocol argmaxes. Used by visualization and by the at-scale
+        parity proof to bound prediction flips by the count of near-tie
+        pixels (margin gating, VERDICT r2)."""
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        run = self._program_probs(B, H, W)
+        return np.asarray(run(self._prepare_variables(variables),
+                              self._to_device(images)))
 
     def _to_device(self, images: np.ndarray) -> Any:
         """Host-side cast to the compute dtype before transfer — halves the

@@ -146,7 +146,7 @@ class CABiNet(nn.Module):
     mode: str = "large"
     cfgs: Optional[Sequence[Sequence[float]]] = None
     use_pallas: bool = False
-    remat: bool = False  # rematerialize backbone blocks (bigger train batches)
+    remat: Any = False  # backbone remat: True=all blocks, int N=first N
     dtype: Dtype = jnp.float32
 
     def setup(self) -> None:
@@ -199,7 +199,7 @@ class CABiNet(nn.Module):
 
 def build_cabinet(n_classes: int, mode: str = "large",
                   cfgs: Optional[Sequence[Sequence[float]]] = None,
-                  use_pallas: bool = False, remat: bool = False,
+                  use_pallas: bool = False, remat: Any = False,
                   dtype: Dtype = jnp.float32) -> CABiNet:
     """Factory mirroring the reference constructor surface (cabinet.py:175-205)."""
     return CABiNet(n_classes=n_classes, mode=mode, cfgs=cfgs,

@@ -157,9 +157,13 @@ class MobileNetV3(nn.Module):
     mode: str = "large"
     width_mult: float = 1.0
     dtype: Dtype = jnp.float32
-    # Rematerialize each inverted-residual block in backward (jax.checkpoint):
+    # Rematerialize inverted-residual blocks in backward (jax.checkpoint):
     # trades recompute for activation memory, raising the max train batch.
-    remat: bool = False
+    # True = every block; an int N = only the first N blocks (the early
+    # high-resolution blocks hold most of the activation bytes but the
+    # fewest FLOPs, so partial remat buys most of the memory for a fraction
+    # of the recompute).
+    remat: Any = False
 
     def setup(self) -> None:
         if self.mode not in ("large", "small"):
@@ -169,11 +173,19 @@ class MobileNetV3(nn.Module):
         self.stem = _conv(input_channel, 3, 2, self.dtype)
         self.stem_bn = batch_norm(self.dtype, name=None)
 
-        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
-                     if self.remat else InvertedResidual)
+        remat_cls = nn.remat(InvertedResidual, static_argnums=(2,))
+
+        def block_cls_for(i: int):
+            if self.remat is True:
+                return remat_cls
+            if self.remat and i < int(self.remat):
+                return remat_cls
+            return InvertedResidual
+
         exp_size = input_channel
         blocks = []
-        for k, t, c, use_se, use_hs, s in self.cfgs:
+        for i, (k, t, c, use_se, use_hs, s) in enumerate(self.cfgs):
+            block_cls = block_cls_for(i)
             output_channel = make_divisible(c * self.width_mult, 8)
             exp_size = make_divisible(input_channel * t, 8)
             blocks.append(block_cls(

@@ -168,3 +168,57 @@ def test_pad_to_bucket_skips_far_smaller_images():
     preds, hist = ev.evaluate_batch({}, images, labels)
     assert preds.shape == (1, 16, 16)
     assert (1, 16, 16) in ev._progs  # compiled at native size, not the bucket
+
+
+def _rand_apply_model():
+    """Tiny real-ish apply: logits depend linearly on a fixed random proj."""
+    rng = np.random.default_rng(3)
+    Wm = jnp.asarray(rng.normal(size=(3, N_CLASSES)).astype(np.float32))
+
+    def apply(variables, images, train=False):
+        logits = images @ Wm * 3.0
+        return logits, logits
+
+    return apply
+
+
+def test_tile_batch_is_bit_identical():
+    """Folding more tiles per forward changes batching, not math."""
+    apply = _rand_apply_model()
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(1, 80, 96, 3)).astype(np.float32)
+    lbl = rng.integers(0, N_CLASSES, (1, 80, 96)).astype(np.int64)
+    outs = []
+    for tb in (1, 16, 64):
+        ev = MscEval(apply, N_CLASSES, scales=(0.5, 1.0), flip=True,
+                     cropsize=32, tile_batch=tb)
+        preds, hist = ev.evaluate_batch({}, img, lbl)
+        outs.append((preds, hist))
+    for preds, hist in outs[1:]:
+        np.testing.assert_array_equal(preds, outs[0][0])
+        np.testing.assert_array_equal(hist, outs[0][1])
+
+
+def test_bf16_accumulation_tracks_f32():
+    """acc_dtype=bf16 (the TPU serving default under bf16 compute) predicts
+    within tolerance of the exact f32 chain."""
+    apply = _rand_apply_model()
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(1, 80, 96, 3)).astype(np.float32)
+    lbl = rng.integers(0, N_CLASSES, (1, 80, 96)).astype(np.int64)
+    ev32 = MscEval(apply, N_CLASSES, scales=(0.5, 1.0), flip=True, cropsize=32)
+    ev16 = MscEval(apply, N_CLASSES, scales=(0.5, 1.0), flip=True, cropsize=32,
+                   acc_dtype=jnp.bfloat16)
+    assert ev32.acc_dtype == jnp.float32  # f32 compute keeps the exact chain
+    p32, _ = ev32.evaluate_batch({}, img, lbl)
+    p16, _ = ev16.evaluate_batch({}, img, lbl)
+    agree = float(np.mean(p32 == p16))
+    assert agree > 0.99, f"bf16 accumulation agreement {agree}"
+
+
+def test_acc_dtype_auto_follows_compute_dtype():
+    ev = MscEval(constant_apply, N_CLASSES, compute_dtype=jnp.bfloat16)
+    assert ev.acc_dtype == jnp.bfloat16
+    ev = MscEval(constant_apply, N_CLASSES, compute_dtype=jnp.bfloat16,
+                 acc_dtype=jnp.float32)
+    assert ev.acc_dtype == jnp.float32
