@@ -23,6 +23,20 @@ import pytest  # noqa: E402
 # override after import, before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-bound on small CI
+# hosts (a cold unit+parity run spends most of its wall clock in XLA-CPU
+# compiles of the multi-scale eval programs). Warm re-runs skip them.
+_cache_dir = os.environ.get("CABINET_TEST_COMP_CACHE",
+                            os.path.join(os.path.expanduser("~"), ".cache",
+                                         "cabinet_tpu_xla_test_cache"))
+if _cache_dir and _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
 
 @pytest.fixture(scope="session")
 def rng():
