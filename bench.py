@@ -284,7 +284,10 @@ def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
             return jnp.sum(out.astype(jnp.float32))
 
         best = 0.0
-        for batch in (32, 64):
+        # one batch point: each (variant, batch) costs two slow remote
+        # compiles of a large C2f net; 48 is within every variant's memory
+        # and near its throughput plateau
+        for batch in (48,):
             x = jnp.asarray(
                 np.random.default_rng(0).normal(size=(batch, H, W, 3)),
                 jnp.bfloat16)
@@ -297,7 +300,7 @@ def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
             best = max(best, batch / per)
         results[v] = round(best, 1)
 
-    tag = "train step (batch 8)" if train_mode else "inference (best batch)"
+    tag = "train step (batch 8)" if train_mode else "inference (batch 48)"
     top = max(results.values())
     return {
         "metric": f"YOLO-sem 1024x1024 bf16 {tag}; img/s by variant: {results}",

@@ -167,3 +167,41 @@ def test_train_cli_with_grain_loader(tiny_run):
     results = train_and_evaluate(cfg)
     assert np.isfinite(results["final"]["mIoU"])
     assert (exp.parent / "exp_grain" / "checkpoint_last").exists()
+
+
+def test_evaluate_cli_accepts_torch_pth(tiny_run, tmp_path):
+    """The README north-star runbook path: `cli.evaluate checkpoint_path=x.pth`
+    converts a reference-format torch state dict on the fly (full-size
+    MobileNetV3-Small table — the .pth loader infers cfgs from the weights)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.models.mobilenetv3 import default_cfgs
+    from cabinet_tpu.utils.torch_convert import flax_to_torch
+
+    model = CABiNet(n_classes=8, mode="small")
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False))()
+    sd = flax_to_torch(variables, default_cfgs("small"))
+    pth = tmp_path / "cabinet_small.pth"
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, pth)
+
+    from cabinet_tpu.cli.evaluate import evaluate_checkpoint
+
+    _, exp, _ = tiny_run
+    cfg = compose(CONFIG_DIR, "evaluate", [
+        "dataset=uavid",
+        "dataset.cropsize=[256,256]",
+        "model=mobilenetv3_small",
+        f"checkpoint_path={pth}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "validation_config.eval_scales=[1.0]",
+        "validation_config.flip=false",
+    ])
+    res = evaluate_checkpoint(cfg)
+    assert np.isfinite(res["mIoU"])
+    assert res["confusion_matrix"].sum() > 0
