@@ -29,7 +29,7 @@ def train_and_evaluate(cfg) -> dict:
     import jax.numpy as jnp
 
     from cabinet_tpu.core.constants import OHEM_DIVISOR
-    from cabinet_tpu.core.mesh import batch_sharding, make_mesh, replicate
+    from cabinet_tpu.core.mesh import batch_sharding, make_mesh
     from cabinet_tpu.data.class_weights import compute_class_weights, get_class_pixel_counts
     from cabinet_tpu.data.loader import DataLoader
     from cabinet_tpu.eval.evaluator import MscEval
@@ -152,12 +152,20 @@ def train_and_evaluate(cfg) -> dict:
                         f"(step {int(state.step)})")
 
     # ---- mesh ------------------------------------------------------------
-    from cabinet_tpu.core.mesh import auto_data_axis
+    from cabinet_tpu.core.mesh import auto_data_axis, shard_model_parallel
 
+    # runtime.model_axis > 1 shards wide layers' channels (tensor
+    # parallelism, core/mesh.py trailing-feature rule) in addition to the
+    # batch on the data axis; 1 (default) is pure DP — the right call for
+    # reference-scale CABiNet, where the model fits in one chip's HBM.
+    n_model = int(cfg.select("runtime.model_axis", 1))
     n_data = (int(cfg.select("runtime.mesh_data", 0))
-              or auto_data_axis(int(tc.batch_size)))
-    mesh = make_mesh(n_data=n_data)
-    state = replicate(state, mesh)
+              or auto_data_axis(int(tc.batch_size),
+                                len(jax.devices()) // n_model))
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    state = shard_model_parallel(
+        state, mesh,
+        min_features=int(cfg.select("runtime.tp_min_features", 256)))
     logger.info(f"Mesh: {dict(mesh.shape)}; max_iter={max_iter}; "
                 f"n_min={n_min}; accum={accum}")
 

@@ -67,6 +67,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tensor_parallel_spec(shape: Sequence[int], n_model: int,
+                         min_features: int = 256) -> P:
+    """Trailing-feature-dim sharding rule for tensor parallelism.
+
+    Conv kernels (HWIO), BN scale/bias/stats (C,), biases, and their
+    optimizer-momentum/EMA mirrors all carry the channel dim LAST, so one
+    shape rule covers the whole train state: shard the trailing dim over the
+    model axis when it is wide enough to be worth splitting (>= min_features)
+    and divisible; replicate everything else. GSPMD then partitions the
+    matching matmuls/convs channel-wise and inserts the (ICI-riding)
+    collectives — no per-layer annotations, and any assignment is
+    correctness-preserving by construction.
+    """
+    shape = tuple(shape)
+    if shape and shape[-1] >= min_features and shape[-1] % n_model == 0:
+        return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+    return P()
+
+
+def shard_model_parallel(tree: Any, mesh: Mesh,
+                         min_features: int = 256) -> Any:
+    """Place a state/param pytree for tensor parallelism on `mesh`.
+
+    With a size-1 model axis this is exactly `replicate` (the pure-DP
+    production default for reference-scale CABiNet); with n_model > 1 every
+    leaf is placed by `tensor_parallel_spec`, physically sharding the wide
+    layers' channels (MobileNetV3 head 960, FFM/CAB 256) across the model
+    axis."""
+    n_model = mesh.shape[MODEL_AXIS]
+    if n_model == 1:
+        return replicate(tree, mesh)
+
+    def place(x):
+        spec = tensor_parallel_spec(np.shape(x), n_model, min_features)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device_put a pytree of host arrays with batch-dim sharding."""
     return jax.tree_util.tree_map(
