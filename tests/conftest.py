@@ -32,7 +32,11 @@ _cache_dir = os.environ.get("CABINET_TEST_COMP_CACHE",
 if _cache_dir and _cache_dir != "0":
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        # Cache EVERY program: the suite is ~hundreds of sub-2s XLA-CPU
+        # compiles, so a nonzero threshold (the old 2s) left a warm run
+        # nearly as compile-bound as a cold one (measured: 20 min -> the
+        # threshold was the reason; see NOTES.md test-runtime entry).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - older jax without the knobs
         pass

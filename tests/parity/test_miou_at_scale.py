@@ -19,6 +19,15 @@ zero egress for the "UAVid mIoU within 0.2 pts" north star):
      is zero and the check IS bit-exactness — but the premise is verified,
      not hoped for (r2's unconditional assert failed on a marginal model).
 
+Runtime design for 1-core CI hosts (the 399s r3 profile): OUR predictions,
+margins, AND confusion matrices all derive from ONE `prob_batch` pass per
+image — the (B,H,W,C) summed probability map IS what the protocol argmaxes,
+so the histogram is recomputed on host bit-identically — and the reference
+side's matrices are cached in a committed fixture
+(tests/fixtures/miou_ref_outputs_v1.npz) keyed by the sha256 of the weights
+fixture. Delete that file to re-run the live torch reference (it is
+regenerated automatically when /root/reference + torch are available).
+
 When the published HF checkpoints are reachable, the same machinery runs:
   python -m cabinet_tpu.cli.evaluate checkpoint_path=<hf .pth> dataset=uavid split=test
 """
@@ -49,6 +58,7 @@ PALETTE = np.array([
 
 FIXTURE = Path(__file__).resolve().parent.parent / "fixtures" / \
     "miou_small_cabinet_v1.npz"
+REF_FIXTURE = FIXTURE.with_name("miou_ref_outputs_v1.npz")
 # Near-tie threshold on the SUMMED multi-scale probability map (range ~[0,6]):
 # torch-CPU vs XLA-CPU f32 reorder noise is ~1e-6; pixels with a smaller
 # top-2 margin may legitimately argmax differently between frameworks.
@@ -164,13 +174,21 @@ def trained_variables():
     return _train_fixture()
 
 
-def _tie_count(ev, variables, images):
-    """Pixels of the summed multi-scale probability map within TIE_EPS of a
-    top-2 tie — the only pixels where cross-framework argmax may differ."""
+def _probs_ties_hist(ev, variables, images, labels):
+    """(ties, n_pix, hist) from ONE full-protocol pass: the summed
+    multi-scale probability map is the exact tensor the protocol argmaxes
+    (evaluator._program), so near-tie margins and the rows=pred/cols=label
+    confusion matrix (eval/metrics.py one_hot convention) are recomputed on
+    host bit-identically instead of running a second device program."""
     probs = ev.prob_batch(variables, images)
     top2 = np.partition(probs, -2, axis=-1)
     margin = top2[..., -1] - top2[..., -2]
-    return int((margin < TIE_EPS).sum()), margin.size
+    pred = probs.argmax(-1)
+    valid = labels != 255
+    idx = pred[valid] * N_CLASSES + labels[valid]
+    hist = np.bincount(idx.astype(np.int64), minlength=N_CLASSES ** 2
+                       ).reshape(N_CLASSES, N_CLASSES).astype(np.float64)
+    return int((margin < TIE_EPS).sum()), margin.size, hist
 
 
 def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
@@ -193,7 +211,23 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
     scales = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
     cropsize = 256  # 512^2 at scale 1.0 -> 3x3 = 9 tiles (>= 4 per scale)
 
-    def run_ref(images, labels):
+    import hashlib
+
+    weights_sha = hashlib.sha256(FIXTURE.read_bytes()).hexdigest()
+    ref_cache = {}
+    if REF_FIXTURE.exists():
+        data = np.load(REF_FIXTURE, allow_pickle=False)
+        if str(data["weights_sha"]) == weights_sha:
+            ref_cache = {k: data[k] for k in data.files}
+
+    def run_ref(images, labels, key):
+        """Reference MscEvalV0 outputs, cached per (weights, image) in a
+        committed fixture — the live torch protocol re-runs when the cache
+        file is deleted or the weights fixture changes."""
+        if f"{key}_hist" in ref_cache:
+            return {"confusion_matrix": ref_cache[f"{key}_hist"],
+                    "mIoU": float(ref_cache[f"{key}_miou"])}
+
         class OneBatch:
             def __iter__(self):
                 yield (torch.from_numpy(images.transpose(0, 3, 1, 2)),
@@ -202,7 +236,11 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
         ref = MscEvalV0(tmodel, OneBatch(), n_classes=N_CLASSES,
                         ignore_label=255, scales=scales, flip=True,
                         cropsize=cropsize, device=torch.device("cpu"))
-        return ref.evaluate()
+        out = ref.evaluate()
+        ref_cache[f"{key}_hist"] = np.asarray(out["confusion_matrix"])
+        ref_cache[f"{key}_miou"] = np.float64(out["mIoU"])
+        np.savez_compressed(REF_FIXTURE, weights_sha=weights_sha, **ref_cache)
+        return out
 
     ev = MscEval(lambda v, x, train=False: CABiNet(
         n_classes=N_CLASSES, mode="small", cfgs=SMALL_CFGS).apply(v, x, train=train),
@@ -217,39 +255,39 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
         lbl[:32] = 255  # ignore strip exercised at full protocol
         im, lb = img[None], lbl[None]
 
-        ties, n_pix = _tie_count(ev, trained_variables, im)
+        ties, n_pix, hist = _probs_ties_hist(ev, trained_variables, im, lb)
         assert ties < 1e-3 * n_pix, (
             f"class-{c} image: {ties} near-tie pixels — the fixture is not "
             f"confident enough for a bit-exactness claim")
 
-        ref_out = run_ref(im, lb)
-        res = ev.evaluate(trained_variables, [(im, lb)])
-        diff = np.abs(res["confusion_matrix"]
-                      - ref_out["confusion_matrix"]).sum() / 2
+        ref_out = run_ref(im, lb, f"c{c}")
+        diff = np.abs(hist - ref_out["confusion_matrix"]).sum() / 2
         assert diff <= ties, (
             f"class-{c} image: {diff} pixels disagree but only {ties} are "
             f"within {TIE_EPS} of a tie — a real protocol divergence")
         # the model actually recognizes the class (not a vacuous comparison)
-        assert res["confusion_matrix"][c, c] > 0.95 * (512 - 32) * 512
+        assert hist[c, c] > 0.95 * (512 - 32) * 512
 
         if c == 0:
             # round trip torch -> flax: identical weights => identical preds
             back = torch_to_flax(
                 {k: v for k, v in tmodel.state_dict().items()}, SMALL_CFGS)
-            res_rt = ev.evaluate(
-                {"params": back["params"], "batch_stats": back["batch_stats"]},
-                [(im, lb)])
-            assert np.array_equal(res_rt["confusion_matrix"],
-                                  res["confusion_matrix"])
+            _, _, hist_rt = _probs_ties_hist(
+                ev, {"params": back["params"],
+                     "batch_stats": back["batch_stats"]}, im, lb)
+            assert np.array_equal(hist_rt, hist)
 
     # ---- multi-class image: ties at block boundaries allowed fp noise ----
+    from cabinet_tpu.eval.metrics import metrics_from_hist
+
     image, lbl = _synthetic(rng, 512, 64)
     lbl[:32] = 255
     im, lb = image[None], lbl[None]
-    ref_out = run_ref(im, lb)
-    res = ev.evaluate(trained_variables, [(im, lb)])
-    total = res["confusion_matrix"].sum()
-    diff = np.abs(res["confusion_matrix"] - ref_out["confusion_matrix"]).sum() / 2
+    ref_out = run_ref(im, lb, "multi")
+    _, _, hist = _probs_ties_hist(ev, trained_variables, im, lb)
+    res = metrics_from_hist(hist)
+    total = hist.sum()
+    diff = np.abs(hist - ref_out["confusion_matrix"]).sum() / 2
     assert diff <= 1e-3 * total, f"{diff} of {total} pixels disagree"
     # tie-flips move mIoU by at most ~2e-3 here (each class's IoU has only
     # ~50k pixels of support); across a real test set the flips average out
