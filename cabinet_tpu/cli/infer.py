@@ -53,7 +53,11 @@ class Segmenter:
         self.imgsz = imgsz
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
 
-        self.model = CABiNet(n_classes=self.n_classes, mode=mode, dtype=dtype)
+        # use_pallas: fused CAB attention kernel (+2.8% at batch 128,
+        # NOTES.md) — inference-only CLI, and the op falls back to the
+        # identical einsum path off-TPU, so it is always safe here.
+        self.model = CABiNet(n_classes=self.n_classes, mode=mode, dtype=dtype,
+                             use_pallas=True)
         init_x = jnp.zeros((1, imgsz, imgsz, 3), dtype)
         template = jax.jit(lambda: self.model.init(jax.random.PRNGKey(0),
                                                    init_x, train=False))()
