@@ -40,6 +40,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering platforms (e.g. tpu,cpu); "
                         "default: this host's platform")
+    p.add_argument("--quantize", default=None, choices=("int8",),
+                   help="bake the int8 PTQ serving path into the artifact "
+                        "(cabinet_tpu/quant.py); requires --calib")
+    p.add_argument("--calib", default=None, metavar="GLOB",
+                   help="calibration images for --quantize (glob of "
+                        "PNG/JPG files, e.g. 'val/*.png'; activation "
+                        "scales are computed through the same "
+                        "normalization the artifact bakes in)")
     p.add_argument("--check", action="store_true",
                    help="deserialize and verify against the live model")
     args = p.parse_args(argv)
@@ -70,6 +78,32 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     variables = {"params": loaded["params"],
                  "batch_stats": loaded.get("batch_stats", {})}
 
+    apply_fn = None
+    if args.quantize == "int8":
+        import glob as globmod
+
+        from PIL import Image
+
+        from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+        if not args.calib:
+            raise SystemExit("--quantize int8 requires --calib <glob>")
+        paths = sorted(globmod.glob(args.calib))
+        if not paths:
+            raise SystemExit(f"--calib matched no files: {args.calib}")
+        mean = np.asarray(ds_cls.MEAN, np.float32)
+        std = np.asarray(ds_cls.STD, np.float32)
+        frames = []
+        for pth in paths[:16]:  # a handful of frames saturates the absmax
+            im = Image.open(pth).convert("RGB").resize(
+                (args.imgsz, args.imgsz), Image.BILINEAR)
+            frames.append((np.asarray(im, np.float32) / 255.0 - mean) / std)
+        calib = jnp.asarray(np.stack(frames), dtype)
+        scales = collect_act_scales(model, variables, [calib])
+        apply_fn = make_quantized_apply(model, scales)
+        console.print(f"[info]int8 PTQ: calibrated {len(scales)} conv sites "
+                      f"on {len(frames)} frames[/info]")
+
     try:
         batch = int(args.batch)
     except ValueError:
@@ -78,10 +112,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     exported = export_serving(model, variables,
                               mean=ds_cls.MEAN, std=ds_cls.STD,
                               imgsz=args.imgsz, batch=batch,
-                              platforms=platforms)
+                              platforms=platforms, apply_fn=apply_fn)
     palette = (trainid_palette(PALETTES[args.dataset])
                if args.dataset in PALETTES else None)
     out = save_artifact(exported, args.out, {
+        "quantize": args.quantize,
         "dataset": args.dataset,
         "n_classes": ds_cls.NUM_CLASSES,
         "imgsz": args.imgsz,
@@ -105,7 +140,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         x = rng.integers(0, 256, (b, args.imgsz, args.imgsz, 3), np.uint8)
         got = np.asarray(serve(jnp.asarray(x)))
         ref_fn = jax.jit(make_serving_fn(model, variables,
-                                         ds_cls.MEAN, ds_cls.STD))
+                                         ds_cls.MEAN, ds_cls.STD,
+                                         apply_fn=apply_fn))
         want = np.asarray(ref_fn(jnp.asarray(x)))
         if not np.array_equal(got, want):
             raise SystemExit(

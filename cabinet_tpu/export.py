@@ -44,23 +44,27 @@ METADATA_NAME = "metadata.json"
 
 
 def make_serving_fn(model: Any, variables: Any,
-                    mean: Sequence[float], std: Sequence[float]):
+                    mean: Sequence[float], std: Sequence[float],
+                    apply_fn: Any = None):
     """uint8 RGB batch -> int32 class-ID masks, all-in-graph.
 
     Mirrors the host-side chain of cli.infer.Segmenter (_preprocess ->
     forward -> argmax) so an exported artifact and the live CLI agree
-    bit-for-bit at the same dtype.
+    bit-for-bit at the same dtype. `apply_fn` overrides `model.apply`
+    (e.g. the int8 PTQ interception from cabinet_tpu/quant.py — the
+    quantize/dequantize arithmetic serializes like any other ops).
     """
     import jax.numpy as jnp
 
     dtype = model.dtype
     mean_arr = jnp.asarray(np.asarray(mean, np.float32))
     std_arr = jnp.asarray(np.asarray(std, np.float32))
+    apply_fn = apply_fn or model.apply
 
     def serve(images_u8):
         x = images_u8.astype(jnp.float32) / 255.0
         x = ((x - mean_arr) / std_arr).astype(dtype)
-        logits, _ = model.apply(variables, x, train=False)
+        logits, _ = apply_fn(variables, x, train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     return serve
@@ -70,12 +74,14 @@ def export_serving(model: Any, variables: Any, *,
                    mean: Sequence[float], std: Sequence[float],
                    imgsz: int = 1024,
                    batch: Union[int, str] = 1,
-                   platforms: Optional[Sequence[str]] = None):
+                   platforms: Optional[Sequence[str]] = None,
+                   apply_fn: Any = None):
     """Build and export the serving function; returns jax.export.Exported."""
     import jax
     from jax import export as jexport
 
-    serve = jax.jit(make_serving_fn(model, variables, mean, std))
+    serve = jax.jit(make_serving_fn(model, variables, mean, std,
+                                    apply_fn=apply_fn))
     if isinstance(batch, str):
         (b,) = jexport.symbolic_shape(batch)
         shape = (b, imgsz, imgsz, 3)

@@ -77,6 +77,31 @@ def test_symbolic_batch(small_model, tmp_path):
         np.testing.assert_array_equal(got, np.asarray(ref(jnp.asarray(x))))
 
 
+def test_quantized_export_roundtrip(small_model, tmp_path):
+    """int8 PTQ composed into the artifact: the quantize/dequantize
+    arithmetic serializes, and the artifact matches the live quantized
+    apply bit-for-bit."""
+    from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+    model, variables = small_model
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.normal(size=(2, IMGSZ, IMGSZ, 3)), jnp.float32)
+    scales = collect_act_scales(model, variables, [calib])
+    assert scales
+    q_apply = make_quantized_apply(model, scales)
+
+    exported = export_serving(model, variables, mean=MEAN, std=STD,
+                              imgsz=IMGSZ, batch=1, apply_fn=q_apply)
+    out = save_artifact(exported, tmp_path / "art", {"quantize": "int8"})
+    serve, meta = load_artifact(out)
+    assert meta["quantize"] == "int8"
+    x = _random_u8(1, seed=9)
+    got = np.asarray(serve(jnp.asarray(x)))
+    ref = jax.jit(make_serving_fn(model, variables, MEAN, STD,
+                                  apply_fn=q_apply))
+    np.testing.assert_array_equal(got, np.asarray(ref(jnp.asarray(x))))
+
+
 def test_cli_end_to_end(tmp_path, monkeypatch):
     """cli.export: checkpoint -> artifact -> --check round-trip (the CLI
     builds the stock small model, so save a stock-cfgs checkpoint)."""
