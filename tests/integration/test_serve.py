@@ -1,0 +1,84 @@
+"""HTTP inference server (cli/serve.py) over an exported artifact."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from cabinet_tpu.export import export_serving, save_artifact
+from cabinet_tpu.models import CABiNet
+
+IMGSZ = 64
+CFGS = [[3, 1, 16, 1, 0, 2], [3, 4.5, 24, 0, 0, 2], [5, 4, 40, 1, 1, 2],
+        [5, 6, 96, 1, 1, 2]]
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    model = CABiNet(n_classes=4, mode="small", cfgs=CFGS, dtype=jnp.float32)
+    x = jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                           train=False))()
+    exported = export_serving(model, variables, mean=(0.5,) * 3,
+                              std=(0.25,) * 3, imgsz=IMGSZ, batch=1)
+    art = save_artifact(exported, tmp_path_factory.mktemp("art"), {
+        "dataset": "test", "imgsz": IMGSZ, "n_classes": 4,
+        "palette": [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+    })
+
+    from cabinet_tpu.cli.serve import _Engine, make_server
+
+    engine = _Engine(str(art), None, None, "small", IMGSZ, "float32")
+    srv = make_server(engine, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
+        meta = json.loads(r.read())
+    assert meta["status"] == "ok" and meta["dataset"] == "test"
+
+
+def _post_png(url, rgb):
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    req = urllib.request.Request(url, data=buf.getvalue(), method="POST",
+                                 headers={"Content-Type": "image/png"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_segment_mask(server):
+    rng = np.random.default_rng(0)
+    rgb = (rng.random((80, 120, 3)) * 255).astype(np.uint8)
+    with _post_png(f"{server}/segment", rgb) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        n_classes = int(r.headers["X-Classes"])
+        mask = np.asarray(Image.open(io.BytesIO(r.read())))
+    # mask comes back at the INPUT resolution with valid class IDs
+    assert mask.shape == (80, 120)
+    assert 1 <= n_classes <= 4 and mask.max() < 4
+
+
+def test_segment_color(server):
+    rng = np.random.default_rng(1)
+    rgb = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    with _post_png(f"{server}/segment?format=color_png", rgb) as r:
+        img = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert img.shape == (64, 64, 3)
+
+
+def test_bad_body_is_400(server):
+    req = urllib.request.Request(f"{server}/segment", data=b"not an image",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
