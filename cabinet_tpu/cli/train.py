@@ -159,9 +159,14 @@ def train_and_evaluate(cfg) -> dict:
     # batch on the data axis; 1 (default) is pure DP — the right call for
     # reference-scale CABiNet, where the model fits in one chip's HBM.
     n_model = int(cfg.select("runtime.model_axis", 1))
-    n_data = (int(cfg.select("runtime.mesh_data", 0))
-              or auto_data_axis(int(tc.batch_size),
-                                len(jax.devices()) // n_model))
+    if bool(cfg.select("runtime.spatial_axis", False)):
+        # spatial partitioning stripes H, not batch: use every device
+        # regardless of the (possibly 1) batch size
+        default_n_data = len(jax.devices()) // n_model
+    else:
+        default_n_data = auto_data_axis(int(tc.batch_size),
+                                        len(jax.devices()) // n_model)
+    n_data = int(cfg.select("runtime.mesh_data", 0)) or default_n_data
     mesh = make_mesh(n_data=n_data, n_model=n_model)
     state = shard_model_parallel(
         state, mesh,
@@ -178,10 +183,18 @@ def train_and_evaluate(cfg) -> dict:
                         tile_batch=common.eval_tile_batch(cfg),
                         acc_dtype=common.eval_acc_dtype(cfg))
 
+    # runtime.spatial_axis=true shards image HEIGHT (not batch) over the
+    # data axis — spatial partitioning for resolutions where batch-per-chip
+    # cannot reach 1 (core/mesh.py:spatial_sharding; GSPMD halo exchanges).
+    if bool(cfg.select("runtime.spatial_axis", False)):
+        from cabinet_tpu.core.mesh import spatial_sharding as _shard_fn
+    else:
+        _shard_fn = batch_sharding
+
     def put(batch):
         imgs, lbs = batch
-        return (jax.device_put(imgs, batch_sharding(mesh, 4)),
-                jax.device_put(lbs, batch_sharding(mesh, 3)))
+        return (jax.device_put(imgs, _shard_fn(mesh, 4)),
+                jax.device_put(lbs, _shard_fn(mesh, 3)))
 
     # XLA-fused photometric augmentation (runtime.device_augs=true): the
     # dataset delivered geometric-only [0,1] crops; HSV/contrast/gamma/

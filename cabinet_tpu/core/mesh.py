@@ -63,6 +63,21 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 1 (image height) over the data axis — spatial partitioning.
+
+    For ultra-high-resolution training where even batch 1 per chip does not
+    fit (the reference's UAVid frames are 4096x2160 before cropping), the
+    batch dim cannot be split further; sharding H instead puts a horizontal
+    stripe of every image on each device and GSPMD inserts the
+    collective-permute halo exchanges for the convolutions automatically —
+    no custom halo code, and BN/loss reductions stay correct by
+    construction. The training analog of the evaluator's tile-sharded
+    (context-parallel) path."""
+    assert ndim >= 2, "spatial sharding needs a (B, H, ...) array"
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -17,6 +17,7 @@ from cabinet_tpu.core.mesh import (
     replicate,
     shard_batch,
     shard_model_parallel,
+    spatial_sharding,
     tensor_parallel_spec,
 )
 
@@ -141,6 +142,47 @@ def test_tensor_parallel_spec_rule():
     assert tuple(tensor_parallel_spec((3, 3, 16, 64), 2)) == ()
     assert tuple(tensor_parallel_spec((3, 3, 16, 255), 2, 128)) == ()
     assert tuple(tensor_parallel_spec((), 2)) == ()
+
+
+@needs_8
+def test_spatial_sharded_train_step_matches_replicated():
+    """Batch-1 train step with image HEIGHT sharded over 8 devices
+    (runtime.spatial_axis: GSPMD halo exchanges for convs) == the
+    replicated step, to fp tolerance — high-res training where the batch
+    dim cannot be split."""
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.train.optimizer import build_optimizer
+    from cabinet_tpu.train.trainer import create_train_state, make_train_step
+
+    cfgs = [[3, 1, 16, 0, 0, 1], [3, 4, 24, 0, 0, 2], [5, 3, 40, 1, 0, 2],
+            [5, 6, 96, 1, 1, 2]]
+    model = CABiNet(n_classes=5, mode="small", cfgs=cfgs)
+    B, H, W = 1, 128, 64
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, 3)), train=True)
+    tx = build_optimizer(variables["params"], lr0=1e-2, max_iter=100,
+                         warmup_steps=10, max_grad_norm=1.0)
+    state0 = jax.device_get(create_train_state(variables, tx))
+    step = make_train_step(model.apply, tx, n_min=B * H * W // 16)
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, (B, H, W))
+
+    mesh = make_mesh()
+    losses = {}
+    for kind, shard_fn in (("replicated", None),
+                           ("spatial", spatial_sharding)):
+        st = replicate(state0, mesh)
+        if shard_fn is None:
+            im, lb = jnp.asarray(images), jnp.asarray(labels)
+        else:
+            im = jax.device_put(jnp.asarray(images), shard_fn(mesh, 4))
+            lb = jax.device_put(jnp.asarray(labels), shard_fn(mesh, 3))
+            assert im.sharding.spec[1] == "data"  # H is the sharded dim
+        _, loss = step(st, im, lb)
+        losses[kind] = float(loss)
+        assert np.isfinite(losses[kind])
+    assert losses["replicated"] == pytest.approx(losses["spatial"], rel=1e-4)
 
 
 @needs_8
