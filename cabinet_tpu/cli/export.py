@@ -34,7 +34,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--batch", default="1",
                    help="int for a fixed batch, or a dim name (e.g. 'b') "
                         "for a symbolic batch")
-    p.add_argument("--mode", default="large", choices=("large", "small"))
+    p.add_argument("--family", default="cabinet",
+                   choices=("cabinet", "yolosem"))
+    p.add_argument("--mode", default="large", choices=("large", "small"),
+                   help="CABiNet size (family=cabinet)")
+    p.add_argument("--variant", default="n",
+                   help="YOLO-sem variant (family=yolosem): n/s/m/l/x")
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     p.add_argument("--platforms", default=None,
@@ -70,7 +75,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     console = RichConsoleManager.get_console()
     ds_cls = DATASET_REGISTRY[args.dataset]
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
-    model = CABiNet(n_classes=ds_cls.NUM_CLASSES, mode=args.mode, dtype=dtype)
+    if args.family == "yolosem":
+        from cabinet_tpu.models.yolosem import YOLOSem
+
+        model = YOLOSem(n_classes=ds_cls.NUM_CLASSES, variant=args.variant,
+                        dtype=dtype)
+    else:
+        model = CABiNet(n_classes=ds_cls.NUM_CLASSES, mode=args.mode,
+                        dtype=dtype)
     init_x = jnp.zeros((1, args.imgsz, args.imgsz, 3), dtype)
     template = jax.jit(lambda: model.init(jax.random.PRNGKey(0), init_x,
                                           train=False))()
@@ -116,6 +128,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     palette = (trainid_palette(PALETTES[args.dataset])
                if args.dataset in PALETTES else None)
     out = save_artifact(exported, args.out, {
+        "family": args.family,
+        "variant": args.variant if args.family == "yolosem" else None,
         "quantize": args.quantize,
         "dataset": args.dataset,
         "n_classes": ds_cls.NUM_CLASSES,

@@ -102,6 +102,24 @@ def test_quantized_export_roundtrip(small_model, tmp_path):
     np.testing.assert_array_equal(got, np.asarray(ref(jnp.asarray(x))))
 
 
+def test_yolosem_export_roundtrip(tmp_path):
+    """The second model family exports through the same artifact contract."""
+    from cabinet_tpu.models.yolosem import YOLOSem
+
+    model = YOLOSem(n_classes=4, variant="n", dtype=jnp.float32)
+    x = jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                           train=False))()
+    exported = export_serving(model, variables, mean=MEAN, std=STD,
+                              imgsz=IMGSZ, batch=1)
+    out = save_artifact(exported, tmp_path / "art", {"family": "yolosem"})
+    serve, _ = load_artifact(out)
+    xs = _random_u8(1, seed=4)
+    got = np.asarray(serve(jnp.asarray(xs)))
+    ref = jax.jit(make_serving_fn(model, variables, MEAN, STD))
+    np.testing.assert_array_equal(got, np.asarray(ref(jnp.asarray(xs))))
+
+
 def test_cli_end_to_end(tmp_path, monkeypatch):
     """cli.export: checkpoint -> artifact -> --check round-trip (the CLI
     builds the stock small model, so save a stock-cfgs checkpoint)."""
