@@ -78,6 +78,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.family == "yolosem":
         from cabinet_tpu.models.yolosem import YOLOSem
 
+        if args.checkpoint.endswith((".pth", ".pt")):
+            # load_any_checkpoint's .pth branch converts through the
+            # CABiNet layout only (train/checkpoint.py)
+            raise SystemExit("--family yolosem requires an orbax checkpoint "
+                             "(.pth conversion is CABiNet-only)")
         model = YOLOSem(n_classes=ds_cls.NUM_CLASSES, variant=args.variant,
                         dtype=dtype)
     else:

@@ -38,7 +38,7 @@ class Segmenter:
 
     def __init__(self, checkpoint: str, dataset: str, mode: str = "large",
                  imgsz: int = 1024, dtype_name: str = "bfloat16",
-                 batch: int = 1):
+                 batch: int = 1, pallas_attn: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -54,10 +54,11 @@ class Segmenter:
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
 
         # use_pallas: fused CAB attention kernel (+2.8% at batch 128,
-        # NOTES.md) — inference-only CLI, and the op falls back to the
-        # identical einsum path off-TPU, so it is always safe here.
+        # NOTES.md) — inference-only CLI; the op falls back to the identical
+        # einsum path off-TPU and past its VMEM budget (ops/attention.py).
+        # --no-pallas-attn opts out entirely.
         self.model = CABiNet(n_classes=self.n_classes, mode=mode, dtype=dtype,
-                             use_pallas=True)
+                             use_pallas=pallas_attn)
         init_x = jnp.zeros((1, imgsz, imgsz, 3), dtype)
         template = jax.jit(lambda: self.model.init(jax.random.PRNGKey(0),
                                                    init_x, train=False))()
@@ -267,11 +268,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--showcase", action="store_true",
                    help="build a 2x2 mosaic showcase video from the first 4 "
                         "clips in --source (a directory of videos)")
+    p.add_argument("--no-pallas-attn", action="store_true",
+                   help="disable the fused Pallas CAB attention kernel "
+                        "(serves the XLA einsum path instead)")
     args = p.parse_args(argv)
 
     classes = PALETTES[args.dataset]
     seg = Segmenter(args.checkpoint, args.dataset, args.mode, args.imgsz,
-                    args.dtype, batch=args.batch)
+                    args.dtype, batch=args.batch,
+                    pallas_attn=not args.no_pallas_attn)
 
     src = args.source
     if args.showcase:

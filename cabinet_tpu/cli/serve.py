@@ -52,6 +52,13 @@ class _Engine:
             serve, meta = load_artifact(artifact)
             self.meta = meta
             self.imgsz = int(meta.get("imgsz", imgsz))
+            batch = str(meta.get("batch", "1"))
+            if batch.isdigit() and int(batch) != 1:
+                # fixed-batch artifacts other than 1 would reject every
+                # single-image request — fail at startup, not per request
+                raise SystemExit(
+                    f"artifact was exported with fixed batch {batch}; serve "
+                    f"needs batch 1 (or a symbolic batch, e.g. --batch b)")
             if meta.get("palette"):
                 self.palette = np.asarray(meta["palette"], np.uint8)
 
@@ -109,6 +116,13 @@ def make_handler(engine: _Engine):
             for part in query.split("&"):
                 if part.startswith("format="):
                     fmt = part.split("=", 1)[1]
+            # validate BEFORE spending serialized accelerator time
+            if fmt not in ("mask_png", "color_png"):
+                return self._json(400, {"error": f"unknown format {fmt}"})
+            if fmt == "color_png" and engine.palette is None:
+                return self._json(400, {
+                    "error": "artifact/dataset has no palette; "
+                             "use format=mask_png"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 rgb = np.asarray(
@@ -121,12 +135,10 @@ def make_handler(engine: _Engine):
             mask_native = np.asarray(
                 Image.fromarray(mask).resize((rgb.shape[1], rgb.shape[0]),
                                              Image.NEAREST))
-            if fmt == "color_png" and engine.palette is not None:
+            if fmt == "color_png":
                 out_img = Image.fromarray(engine.palette[mask_native])
-            elif fmt in ("mask_png", "color_png"):
-                out_img = Image.fromarray(mask_native)
             else:
-                return self._json(400, {"error": f"unknown format {fmt}"})
+                out_img = Image.fromarray(mask_native)
             buf = io.BytesIO()
             out_img.save(buf, format="PNG")
             body = buf.getvalue()

@@ -159,7 +159,8 @@ def train_and_evaluate(cfg) -> dict:
     # batch on the data axis; 1 (default) is pure DP — the right call for
     # reference-scale CABiNet, where the model fits in one chip's HBM.
     n_model = int(cfg.select("runtime.model_axis", 1))
-    if bool(cfg.select("runtime.spatial_axis", False)):
+    spatial_axis = bool(cfg.select("runtime.spatial_axis", False))
+    if spatial_axis:
         # spatial partitioning stripes H, not batch: use every device
         # regardless of the (possibly 1) batch size
         default_n_data = len(jax.devices()) // n_model
@@ -186,7 +187,7 @@ def train_and_evaluate(cfg) -> dict:
     # runtime.spatial_axis=true shards image HEIGHT (not batch) over the
     # data axis — spatial partitioning for resolutions where batch-per-chip
     # cannot reach 1 (core/mesh.py:spatial_sharding; GSPMD halo exchanges).
-    if bool(cfg.select("runtime.spatial_axis", False)):
+    if spatial_axis:
         from cabinet_tpu.core.mesh import spatial_sharding as _shard_fn
     else:
         _shard_fn = batch_sharding

@@ -48,16 +48,20 @@ def fused_global_attention(q: jnp.ndarray, k: jnp.ndarray,
     q: (B, N, K); k: (B, N, K); v: (B, N, V) -> (B, N, V).
     Matches the XLA path in models/cab.py (reference cab.py:149-153).
     """
-    if jax.default_backend() not in ("tpu",):
+    B, N, K = q.shape
+    V = v.shape[-1]
+    # VMEM budget guard: the kernel holds the (N,N) f32 attention matrix
+    # plus q/k/v/out blocks entirely in VMEM. For token counts past ~12 MB
+    # of working set (e.g. inputs far above the 1024-2048 px serving sizes)
+    # fall back to the identical einsum path rather than crash in Mosaic.
+    vmem_bytes = 4 * (N * N + 2 * N * K + 2 * N * V)
+    if jax.default_backend() not in ("tpu",) or vmem_bytes > 12 * 2 ** 20:
         scale = q.shape[-1] ** -0.5
         attn = jnp.einsum("bnk,bmk->bnm", q, k,
                           preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         return jnp.einsum("bnm,bmv->bnv", attn, v,
                           preferred_element_type=jnp.float32).astype(v.dtype)
-
-    B, N, K = q.shape
-    V = v.shape[-1]
     scale = float(K) ** -0.5
 
     kernel = functools.partial(_attention_kernel, scale=scale)

@@ -212,8 +212,17 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
     cropsize = 256  # 512^2 at scale 1.0 -> 3x3 = 9 tiles (>= 4 per scale)
 
     import hashlib
+    import json
 
-    weights_sha = hashlib.sha256(FIXTURE.read_bytes()).hexdigest()
+    # Cache key covers the weights AND the full protocol/image recipe — a
+    # change to any of these must invalidate the cached reference outputs.
+    protocol = json.dumps({
+        "scales": scales, "cropsize": cropsize, "n_classes": N_CLASSES,
+        "palette": PALETTE.tolist(), "rng": 11, "ignore_rows": 32,
+        "multi_block": 64,
+    }, sort_keys=True)
+    weights_sha = hashlib.sha256(FIXTURE.read_bytes()
+                                 + protocol.encode()).hexdigest()
     ref_cache = {}
     if REF_FIXTURE.exists():
         data = np.load(REF_FIXTURE, allow_pickle=False)
