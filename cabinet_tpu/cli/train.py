@@ -251,6 +251,24 @@ def train_and_evaluate(cfg) -> dict:
                     ckpt.save_variables(f"{tc.model_save_name}_best",
                                         state.ema_variables)
 
+            # Machine-readable per-epoch metrics (observability analog of
+            # the reference's console-only history): one JSON line per
+            # epoch under the experiment dir, safe to tail/plot while
+            # training runs.
+            import json as _json
+
+            with open(Path(tc.experiments_path) / "metrics.jsonl",
+                      "a") as mf:
+                mf.write(_json.dumps({
+                    "epoch": epoch,
+                    "train_loss": (float(np.mean(losses)) if losses
+                                   else None),
+                    "val_loss": None if np.isnan(val_loss) else val_loss,
+                    "mIoU": fitness,
+                    "step": int(state.step),
+                    "seconds": round(time.time() - t0, 2),
+                }) + "\n")
+
             should_stop = stopper(epoch, fitness)
             ckpt.save_full("checkpoint_last", state, epoch, best_miou,
                            best_loss, stopper.state_dict())

@@ -69,6 +69,14 @@ def test_train_cli_end_to_end(tiny_run):
     assert (exp / "checkpoint_last").exists()
     assert (exp / "tiny").exists()  # final EMA variables
     assert (exp / "config.yaml").exists()
+    # per-epoch machine-readable metrics: one JSON line per epoch
+    import json
+
+    lines = [json.loads(ln) for ln in
+             (exp / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 and lines[-1]["epoch"] == 1
+    assert np.isfinite(lines[-1]["val_loss"])
+    assert np.isfinite(lines[-1]["mIoU"])
 
     # standalone evaluate consumes the final checkpoint
     from cabinet_tpu.cli.evaluate import evaluate_checkpoint
