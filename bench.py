@@ -293,7 +293,11 @@ def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
                 jnp.bfloat16)
             try:
                 float(chain(x, 1)), float(chain(x, K))
-            except Exception:
+            except Exception as e:
+                # Loudly record the failure instead of a silent 0.0 img/s —
+                # a regression tracker must distinguish "slow" from "broken".
+                print(f"# yolo bench: variant {v} batch {batch} failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
                 break
             per = (_min_time(lambda: float(chain(x, K)))
                    - _min_time(lambda: float(chain(x, 1)))) / (K - 1)

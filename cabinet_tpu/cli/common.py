@@ -57,6 +57,23 @@ def compute_dtype_of(cfg: Config):
             "float16": jnp.float16}[name]
 
 
+def remat_of(cfg: Config) -> Any:
+    """``runtime.remat``: false | true (every block) | int N (first N
+    backbone blocks only — see models/mobilenetv3.py). A bool() coercion
+    here would silently turn N into all-blocks remat."""
+    v = cfg.select("runtime.remat", False)
+    if isinstance(v, (bool, int)):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "false"):
+        return s == "true"
+    try:
+        return int(s)
+    except ValueError:
+        raise ConfigurationError(
+            f"runtime.remat must be true|false|<int N>, got {v!r}")
+
+
 def build_model(cfg: Config, n_classes: int):
     from cabinet_tpu.models import CABiNet
 
@@ -66,7 +83,7 @@ def build_model(cfg: Config, n_classes: int):
         mode=cfg.model.mode,
         cfgs=cfgs,
         use_pallas=bool(cfg.select("runtime.use_pallas", False)),
-        remat=bool(cfg.select("runtime.remat", False)),
+        remat=remat_of(cfg),
         dtype=compute_dtype_of(cfg),
     )
 

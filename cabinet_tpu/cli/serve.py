@@ -50,8 +50,17 @@ class _Engine:
             from cabinet_tpu.export import load_artifact
 
             serve, meta = load_artifact(artifact)
+            if "imgsz" not in meta:
+                # without metadata the CLI default imgsz would be applied to
+                # an artifact exported at another size — every request would
+                # then die on a cryptic shape mismatch. Fail at startup.
+                raise SystemExit(
+                    f"artifact {artifact} has no metadata.json (bare file "
+                    f"moved away from its export directory?) — serve needs "
+                    f"the exported imgsz/batch; point --artifact at the "
+                    f"cli.export output directory")
             self.meta = meta
-            self.imgsz = int(meta.get("imgsz", imgsz))
+            self.imgsz = int(meta["imgsz"])
             batch = str(meta.get("batch", "1"))
             if batch.isdigit() and int(batch) != 1:
                 # fixed-batch artifacts other than 1 would reject every

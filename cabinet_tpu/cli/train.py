@@ -214,6 +214,18 @@ def train_and_evaluate(cfg) -> dict:
 
         aug_key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
+    # Run delimiter for metrics.jsonl: resumed/re-run trainings append to
+    # the same file, so every line carries a per-run id and each run opens
+    # with a marker line — consumers can split runs instead of
+    # double-counting interleaved epochs.
+    import json as _json
+
+    run_id = time.strftime("%Y%m%d-%H%M%S")
+    metrics_path = Path(tc.experiments_path) / "metrics.jsonl"
+    with open(metrics_path, "a") as mf:
+        mf.write(_json.dumps({"run_start": run_id,
+                              "start_epoch": start_epoch}) + "\n")
+
     results = {"best_miou": best_miou}
     try:
         for epoch in range(start_epoch, int(tc.epochs)):
@@ -255,11 +267,9 @@ def train_and_evaluate(cfg) -> dict:
             # the reference's console-only history): one JSON line per
             # epoch under the experiment dir, safe to tail/plot while
             # training runs.
-            import json as _json
-
-            with open(Path(tc.experiments_path) / "metrics.jsonl",
-                      "a") as mf:
+            with open(metrics_path, "a") as mf:
                 mf.write(_json.dumps({
+                    "run": run_id,
                     "epoch": epoch,
                     "train_loss": (float(np.mean(losses)) if losses
                                    else None),

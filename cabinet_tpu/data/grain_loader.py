@@ -45,7 +45,12 @@ def make_grain_loader(
                     "label": np.asarray(lbl, np.int64)}
 
     source = _Source()
-    sharding = (gp.ShardByJaxProcess(drop_remainder=drop_remainder)
+    # Shard-level remainder handling is deliberately DECOUPLED from batch
+    # drop_remainder: shards are always equalized (each process gets exactly
+    # n // process_count records) so every process yields the same number of
+    # batches — unequal per-host batch counts deadlock synchronized
+    # multi-host training on the first collective of the missing step.
+    sharding = (gp.ShardByJaxProcess(drop_remainder=True)
                 if shard_by_process else gp.NoSharding())
     sampler = gp.IndexSampler(
         num_records=len(source),
@@ -113,7 +118,9 @@ class GrainLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.shard is not None:
-            n = n // self.shard[1]  # drop_remainder sharding
+            # matches ShardByJaxProcess(drop_remainder=True): every process
+            # gets exactly n // process_count records (see make_grain_loader)
+            n = n // self.shard[1]
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

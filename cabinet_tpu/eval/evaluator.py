@@ -135,12 +135,20 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
 
 def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
                                 flip: bool, mesh, variables: Any,
-                                image: jnp.ndarray) -> jnp.ndarray:
+                                image: jnp.ndarray,
+                                tile_batch: int = TILE_BATCH,
+                                acc_dtype: Any = jnp.float32) -> jnp.ndarray:
     """Tile-parallel sliding window: the tile grid of ONE (possibly huge)
     image is sharded across the mesh's data axis; each device evaluates its
     tiles and the accumulated probability/count maps are psum-ed. This is
     the framework's context-parallel analog (SURVEY §5.7: the reference's
-    "long-context" dimension is input resolution, up to 4096x2160)."""
+    "long-context" dimension is input resolution, up to 4096x2160).
+
+    Honors the same `tile_batch` / `acc_dtype` knobs as the single-device
+    path: each scan step folds a GROUP of this device's tiles into one
+    model forward (pad tiles carry weight 0 so their probabilities vanish),
+    and the per-device accumulator runs in `acc_dtype`.
+    """
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
@@ -155,34 +163,50 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
 
     grid = tile_grid(full_h, full_w, crop)
     n = mesh.shape[DATA_AXIS]
-    t_pad = -(-len(grid) // n) * n
+    # cap the fold at the per-device tile count — a bigger group would only
+    # add weight-0 pad tiles (wasted forwards), not parallelism
+    group = min(max(tile_batch // B, 1), -(-len(grid) // n))
+    per = n * group
+    t_pad = -(-len(grid) // per) * per
     weights = np.zeros(t_pad, np.float32)
     weights[:len(grid)] = 1.0
     grid_p = np.zeros((t_pad, 2), np.int32)
     grid_p[:len(grid)] = grid
 
     def worker(grid_local, wt_local, variables, image):
-        prob0 = jnp.zeros((B, full_h, full_w, n_classes), jnp.float32)
+        prob0 = jnp.zeros((B, full_h, full_w, n_classes), acc_dtype)
         count0 = jnp.zeros((full_h, full_w), jnp.float32)
         ones = jnp.ones((crop, crop), jnp.float32)
+        steps = grid_local.shape[0] // group
+        grid_g = grid_local.reshape(steps, group, 2)
+        wt_g = wt_local.reshape(steps, group)
 
         def body(carry, gw):
             prob, count = carry
-            yx, wt = gw
-            y, x = yx[0], yx[1]
-            chip = jax.lax.dynamic_slice(
-                image, (0, y, x, 0), (B, crop, crop, image.shape[-1]))
-            cp = _chip_probs(apply_fn, variables, chip, flip) * wt
-            cur = jax.lax.dynamic_slice(prob, (0, y, x, 0),
-                                        (B, crop, crop, n_classes))
-            prob = jax.lax.dynamic_update_slice(prob, cur + cp, (0, y, x, 0))
-            ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
-            count = jax.lax.dynamic_update_slice(count, ccur + ones * wt,
-                                                 (y, x))
+            yxs, wts = gw  # (group, 2), (group,)
+            chips = jnp.concatenate([
+                jax.lax.dynamic_slice(
+                    image, (0, yxs[i, 0], yxs[i, 1], 0),
+                    (B, crop, crop, image.shape[-1]))
+                for i in range(group)
+            ], axis=0)
+            cps = _chip_probs(apply_fn, variables, chips, flip)
+            for i in range(group):
+                cp = (jax.lax.dynamic_slice(
+                    cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
+                    * wts[i]).astype(acc_dtype)
+                y, x = yxs[i, 0], yxs[i, 1]
+                cur = jax.lax.dynamic_slice(prob, (0, y, x, 0),
+                                            (B, crop, crop, n_classes))
+                prob = jax.lax.dynamic_update_slice(prob, cur + cp,
+                                                    (0, y, x, 0))
+                ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
+                count = jax.lax.dynamic_update_slice(
+                    count, ccur + ones * wts[i], (y, x))
             return (prob, count), None
 
         (prob, count), _ = jax.lax.scan(body, (prob0, count0),
-                                        (grid_local, wt_local))
+                                        (grid_g, wt_g))
         return (jax.lax.psum(prob, DATA_AXIS),
                 jax.lax.psum(count, DATA_AXIS))
 
@@ -193,7 +217,7 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
         check_rep=False,
     )(jnp.asarray(grid_p), jnp.asarray(weights), variables, image)
 
-    prob = prob / jnp.maximum(count, 1.0)[None, :, :, None]
+    prob = prob / jnp.maximum(count, 1.0).astype(acc_dtype)[None, :, :, None]
     if (full_h, full_w) != (H, W):
         prob = jax.lax.dynamic_slice(prob, (0, hst, wst, 0),
                                      (B, H, W, n_classes))
@@ -212,7 +236,9 @@ def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
     scaled = resize_bilinear(image, (sh, sw))
     if tile_mesh is not None:
         prob = _sliding_probs_tile_sharded(apply_fn, n_classes, crop, flip,
-                                           tile_mesh, variables, scaled)
+                                           tile_mesh, variables, scaled,
+                                           tile_batch=tile_batch,
+                                           acc_dtype=acc_dtype)
     else:
         prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables,
                               scaled, tile_batch=tile_batch,

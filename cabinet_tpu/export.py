@@ -122,6 +122,11 @@ def load_artifact(path: Union[str, Path]):
                     if meta_file.exists() else {})
     else:
         blob = p.read_bytes()
-        metadata = {}
+        # a bare artifact file usually still sits next to its metadata.json
+        # (the cli.export layout) — losing the metadata silently would make
+        # consumers fall back to unrelated defaults (imgsz, batch, palette)
+        sibling = p.parent / METADATA_NAME
+        metadata = (json.loads(sibling.read_text())
+                    if sibling.exists() else {})
     exported = jexport.deserialize(blob)
     return jax.jit(exported.call), metadata

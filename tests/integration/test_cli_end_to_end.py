@@ -74,7 +74,11 @@ def test_train_cli_end_to_end(tiny_run):
 
     lines = [json.loads(ln) for ln in
              (exp / "metrics.jsonl").read_text().splitlines()]
-    assert len(lines) == 2 and lines[-1]["epoch"] == 1
+    # one run-start marker (resume/re-run delimiter) + one line per epoch,
+    # each epoch line tagged with the run id
+    assert len(lines) == 3 and "run_start" in lines[0]
+    assert lines[-1]["epoch"] == 1
+    assert lines[-1]["run"] == lines[0]["run_start"]
     assert np.isfinite(lines[-1]["val_loss"])
     assert np.isfinite(lines[-1]["mIoU"])
 

@@ -227,7 +227,10 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
     if REF_FIXTURE.exists():
         data = np.load(REF_FIXTURE, allow_pickle=False)
         if str(data["weights_sha"]) == weights_sha:
-            ref_cache = {k: data[k] for k in data.files}
+            # Exclude the sha key: run_ref re-saves with it as an explicit
+            # kwarg, and a partial cache (interrupted generation / new test
+            # image) would otherwise crash on the duplicate keyword.
+            ref_cache = {k: data[k] for k in data.files if k != "weights_sha"}
 
     def run_ref(images, labels, key):
         """Reference MscEvalV0 outputs, cached per (weights, image) in a

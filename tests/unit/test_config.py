@@ -97,3 +97,21 @@ def test_config_select_and_get():
     assert cfg.select("a.b.c") == 3
     assert cfg.select("a.x.c", "dflt") == "dflt"
     assert cfg.a.get("missing") is None
+
+
+def test_remat_of_accepts_int_and_bool():
+    """runtime.remat=N (partial remat: first N backbone blocks) must reach
+    the model as an int — a bool() coercion would silently turn it into
+    all-blocks remat (models/mobilenetv3.py block_cls_for)."""
+    from cabinet_tpu.cli.common import remat_of
+
+    def cfg_with(v):
+        return compose(CONFIG_DIR, "train",
+                       ["dataset=uavid", f"+runtime.remat={v}"])
+
+    assert remat_of(cfg_with("4")) == 4
+    assert remat_of(cfg_with("true")) is True
+    assert remat_of(cfg_with("false")) is False
+    assert remat_of(compose(CONFIG_DIR, "train", ["dataset=uavid"])) is False
+    with pytest.raises(ConfigurationError):
+        remat_of(cfg_with("sometimes"))

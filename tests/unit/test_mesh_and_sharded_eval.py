@@ -123,6 +123,13 @@ def test_tile_sharded_eval_matches_unsharded():
     _, hist_sharded = sharded.evaluate_batch({}, images, labels)
     np.testing.assert_array_equal(hist_plain, hist_sharded)
 
+    # the tile_batch fold reaches the SHARDED path too: folding several
+    # tiles into one forward cannot change per-chip math -> f32 bit-exact
+    folded = MscEval(apply_fn, N_CLASSES, scales=(1.0,), cropsize=32,
+                     tile_mesh=mesh, tile_batch=8)
+    _, hist_folded = folded.evaluate_batch({}, images, labels)
+    np.testing.assert_array_equal(hist_plain, hist_folded)
+
     # multi-scale + flip: compare the probability maps (psum reordering can
     # flip argmax on exact resize ties, so histograms may differ by a hair)
     from cabinet_tpu.eval.evaluator import _scale_probs
@@ -132,6 +139,15 @@ def test_tile_sharded_eval_matches_unsharded():
         pa = _scale_probs(apply_fn, N_CLASSES, 32, True, s, {}, img, None)
         pb = _scale_probs(apply_fn, N_CLASSES, 32, True, s, {}, img, mesh)
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+    # the acc_dtype knob reaches the sharded path: bf16 accumulation stays
+    # within cast tolerance of the f32 chain
+    pc = _scale_probs(apply_fn, N_CLASSES, 32, False, 1.0, {}, img, mesh,
+                      tile_batch=8, acc_dtype=jnp.bfloat16)
+    pd = _scale_probs(apply_fn, N_CLASSES, 32, False, 1.0, {}, img, mesh,
+                      tile_batch=8, acc_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(pc, np.float32), np.asarray(pd),
+                               atol=2e-2)
 
 
 def test_tensor_parallel_spec_rule():
