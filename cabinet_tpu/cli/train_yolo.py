@@ -74,7 +74,11 @@ class YoloEval:
         def run(variables, images, labels):
             x = images.astype(dtype)
             if (H, W) != (imgsz, imgsz):
-                x = jax.image.resize(x, (B, imgsz, imgsz, 3), "bilinear")
+                # separable-matmul resize (MXU; torch-matching 2-tap
+                # sampling in both directions — see models/cab.py)
+                from cabinet_tpu.models.cab import resize_bilinear
+
+                x = resize_bilinear(x, (imgsz, imgsz))
             logits, _ = apply_fn(variables, x, train=False)
             preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if (H, W) != (imgsz, imgsz):

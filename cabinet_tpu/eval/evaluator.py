@@ -55,17 +55,28 @@ def tile_grid(full_h: int, full_w: int, crop: int,
 
 
 def _chip_probs(apply_fn: ApplyFn, variables: Any, chip: jnp.ndarray,
-                flip: bool) -> jnp.ndarray:
-    """Softmax probabilities for one chip, optionally with flip TTA."""
+                flip: bool, prob_dtype: Any = jnp.float32) -> jnp.ndarray:
+    """Softmax probabilities for one chip, optionally with flip TTA.
+
+    `prob_dtype` is the dtype the softmax chain runs in. f32 (default)
+    reproduces the reference chain bit-for-bit (parity suites). The bf16
+    fast path matters enormously at 4K: the logits of one 64-tile fold
+    under flip TTA are a (128, 1024, 1024, C) tensor — casting it to f32
+    and running a f32 softmax is ~25 GB of HBM traffic per fold (measured
+    ~1/3 of the whole protocol's time); in bf16 the same chain moves ~8 GB.
+    Accuracy-wise this adds bf16 rounding to per-pixel probabilities whose
+    sum the protocol argmaxes — same noise class as bf16 accumulation,
+    which this path already implies (acc_dtype drives it).
+    """
     if flip:
         both = jnp.concatenate([chip, chip[:, :, ::-1, :]], axis=0)
         logits = apply_fn(variables, both, train=False)[0]
-        logits = logits.astype(jnp.float32)
+        logits = logits.astype(prob_dtype)
         n = chip.shape[0]
         prob = jax.nn.softmax(logits[:n], axis=-1)
         prob_f = jax.nn.softmax(logits[n:][:, :, ::-1, :], axis=-1)
-        return (prob + prob_f) * 0.5
-    logits = apply_fn(variables, chip, train=False)[0].astype(jnp.float32)
+        return (prob + prob_f) * jnp.asarray(0.5, prob_dtype)
+    logits = apply_fn(variables, chip, train=False)[0].astype(prob_dtype)
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -114,7 +125,10 @@ def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                                   (B, crop, crop, image.shape[-1]))
             for (y, x) in chunk
         ], axis=0)  # (len(chunk)*B, crop, crop, C)
-        cps = _chip_probs(apply_fn, variables, chips, flip).astype(acc_dtype)
+        # bf16 accumulation implies the bf16 softmax chain (same noise
+        # class, and the f32 logits cast alone is ~1/3 of protocol time)
+        cps = _chip_probs(apply_fn, variables, chips, flip,
+                          prob_dtype=acc_dtype).astype(acc_dtype)
         for i, (y, x) in enumerate(chunk):
             cp = jax.lax.dynamic_slice(
                 cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
@@ -190,11 +204,12 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
                     (B, crop, crop, image.shape[-1]))
                 for i in range(group)
             ], axis=0)
-            cps = _chip_probs(apply_fn, variables, chips, flip)
+            cps = _chip_probs(apply_fn, variables, chips, flip,
+                              prob_dtype=acc_dtype)
             for i in range(group):
                 cp = (jax.lax.dynamic_slice(
                     cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
-                    * wts[i]).astype(acc_dtype)
+                    * wts[i].astype(acc_dtype))
                 y, x = yxs[i, 0], yxs[i, 1]
                 cur = jax.lax.dynamic_slice(prob, (0, y, x, 0),
                                             (B, crop, crop, n_classes))
@@ -230,9 +245,10 @@ def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                  acc_dtype: Any = jnp.float32) -> jnp.ndarray:
     B, H, W, C = image.shape
     sh, sw = int(H * scale), int(W * scale)
-    # resize_bilinear: separable-matmul upsampling (5x over the gather
-    # lowering of jax.image.resize, see models/cab.py), jax.image for
-    # downscale (anti-aliased) — identical sampling either way.
+    # resize_bilinear: separable 2-tap interp matmuls in BOTH directions —
+    # bit-matching the reference's torch F.interpolate(bilinear) sampling
+    # (never anti-aliased; see models/cab.py docstring) and riding the MXU
+    # instead of the gather lowering.
     scaled = resize_bilinear(image, (sh, sw))
     if tile_mesh is not None:
         prob = _sliding_probs_tile_sharded(apply_fn, n_classes, crop, flip,
@@ -300,9 +316,10 @@ class MscEval:
         # to one canvas with ignore-filled labels, so ONE program compiles
         # instead of one per native resolution (SURVEY §7.3; each 4Kx2K
         # compile costs minutes). Padded pixels never enter the histogram.
-        # Protocol note: at downscales the bilinear kernel mixes pad zeros
-        # into a ~1px strip at the pad boundary — metrics match native eval
-        # to noise level, but not bit-exactly; leave unset for strict parity.
+        # Protocol note: at downscales the 2-tap bilinear kernel mixes pad
+        # zeros into a 1px strip at the pad boundary — metrics match native
+        # eval to noise level, but not bit-exactly; leave unset for strict
+        # parity.
         self.pad_to = None if pad_to is None else (int(pad_to[0]), int(pad_to[1]))
         self._progs: Dict[Tuple[int, int, int], Callable] = {}
         self._prob_progs: Dict[Tuple[int, int, int], Callable] = {}

@@ -33,8 +33,9 @@ Dtype = Any
 
 def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
     """(n_out, n_in) bilinear interpolation matrix, half-pixel centers with
-    edge clamping (same sampling as jax.image.resize / torch
-    align_corners=False upsampling).
+    edge clamping — torch ``align_corners=False`` sampling in BOTH
+    directions (2-tap even when n_out < n_in; jax.image.resize matches on
+    upsample only, its downsample anti-aliases).
 
     Built ON DEVICE from iota + one_hot, NOT as a numpy constant: a dense
     f32 constant at eval sizes (e.g. 4096x2048 = 33 MB) would embed into
@@ -54,23 +55,31 @@ def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
 def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear NHWC resize, half-pixel centers (== torch align_corners=False).
 
-    Upsampling runs as two separable MXU matmuls (measured 127 -> ~25 us/img
-    for the 128^2->1024^2 8-channel logits upsample at batch 128:
+    Both directions run as two separable MXU matmuls (measured 127 -> ~25
+    us/img for the 128^2->1024^2 8-channel logits upsample at batch 128:
     jax.image.resize lowers to gathers, which the TPU serializes; an
     interpolation-matrix einsum is dense MXU work — same trick as
-    `adaptive_avg_pool2d`). Downsampling keeps jax.image.resize, whose
-    anti-aliased kernel is not a 2-tap matrix.
+    `adaptive_avg_pool2d`).
+
+    Downscaling MUST use the same 2-tap matrix, not jax.image.resize: the
+    reference protocol resizes with torch ``F.interpolate(mode="bilinear")``
+    (evaluate.py:152-159), which never anti-aliases, while jax.image.resize
+    defaults to ``antialias=True`` on downscale — a ~2.0 max deviation on
+    unit-normal data, i.e. a silent eval-protocol divergence on the exact
+    path the north-star mIoU is measured on (scales<1 scale the input down;
+    scales>1 resize the probability map back down to native). The 2-tap
+    matrix matches torch to <5e-7 in both directions (test_layers.py).
     """
     B, H, W, C = x.shape
     out_h, out_w = int(size[0]), int(size[1])
-    if out_h >= H and out_w >= W:
-        left = _interp_matrix(H, out_h)
-        right = _interp_matrix(W, out_w)
-        y = jnp.einsum("bhwc,ph,qw->bpqc", x, left.astype(x.dtype),
-                       right.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        return y.astype(x.dtype)
-    return jax.image.resize(x, (B, out_h, out_w, C), method="bilinear")
+    if (out_h, out_w) == (H, W):
+        return x
+    left = _interp_matrix(H, out_h)
+    right = _interp_matrix(W, out_w)
+    y = jnp.einsum("bhwc,ph,qw->bpqc", x, left.astype(x.dtype),
+                   right.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 class PSPModule(nn.Module):

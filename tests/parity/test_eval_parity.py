@@ -119,7 +119,13 @@ def test_msc_eval_parity(ref_eval):
         {"params": variables["params"], "batch_stats": variables["batch_stats"]},
         [(images, labels)])
 
-    np.testing.assert_allclose(res["confusion_matrix"],
-                               ref_out["confusion_matrix"], atol=40)
-    assert abs(res["mIoU"] - ref_out["mIoU"]) < 5e-3
-    assert abs(res["accuracy"] - ref_out["accuracy"]) < 5e-3
+    # Measured bit-exact (diff 0.0) on this protocol since resize_bilinear
+    # matched torch's non-antialiased downscale; the <=5-pixel allowance
+    # (of 9000) covers torch-CPU-vs-XLA-CPU fp tie flips on these RANDOM
+    # weights only. Before the fix (jax.image antialias on the scale-0.5
+    # input downscale) this needed atol=40 per matrix entry.
+    diff = np.abs(res["confusion_matrix"]
+                  - ref_out["confusion_matrix"]).sum() / 2
+    assert diff <= 5, f"{diff} pixels disagree with the reference protocol"
+    assert abs(res["mIoU"] - ref_out["mIoU"]) < 2e-3
+    assert abs(res["accuracy"] - ref_out["accuracy"]) < 1e-3

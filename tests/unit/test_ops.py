@@ -86,8 +86,11 @@ def test_full_photometric_pipeline_jits():
 
 
 class TestResizeBilinear:
-    """Separable-matmul upsampling must be numerically identical to
-    jax.image.resize (models/cab.py resize_bilinear fast path)."""
+    """Separable-matmul resize must sample exactly like the reference's
+    torch ``F.interpolate(mode="bilinear", align_corners=False)`` in BOTH
+    directions (models/cab.py resize_bilinear) — in particular downscale
+    must NOT anti-alias (torch never does; jax.image.resize defaults to
+    antialias=True, a silent eval-protocol divergence)."""
 
     def test_upscale_matches_jax_image(self):
         import jax
@@ -107,14 +110,42 @@ class TestResizeBilinear:
                                    method="bilinear")
             assert float(jnp.max(jnp.abs(fast - ref))) < 2e-5
 
-    def test_downscale_delegates_antialiased(self):
+    def test_matches_torch_interpolate_both_directions(self):
+        import jax.numpy as jnp
+
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from cabinet_tpu.models.cab import resize_bilinear
+
+        rng = np.random.default_rng(1)
+        # down, up, mixed (H up / W down), and the protocol's exact ratios
+        # (scale 0.5 input downscale, scale 1.75 prob-map downscale)
+        for shape, size in [((1, 64, 48, 4), (32, 24)),
+                            ((2, 9, 7, 3), (17, 13)),
+                            ((1, 33, 17, 2), (48, 9)),
+                            ((1, 100, 88, 5), (50, 44)),
+                            ((1, 112, 154, 6), (64, 88))]:
+            x = rng.normal(size=shape).astype(np.float32)
+            out = np.asarray(resize_bilinear(jnp.asarray(x), size))
+            ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                size, mode="bilinear",
+                                align_corners=False
+                                ).numpy().transpose(0, 2, 3, 1)
+            np.testing.assert_allclose(out, ref, atol=2e-6)
+
+    def test_no_antialias_on_downscale(self):
+        """Guard the divergence itself: the anti-aliased jax.image kernel
+        must NOT be what we compute (it differs from torch by ~2.0 on
+        unit-normal data at 1.75x downscale)."""
         import jax
         import jax.numpy as jnp
 
         from cabinet_tpu.models.cab import resize_bilinear
 
-        rng = np.random.default_rng(1)
-        x = jnp.asarray(rng.normal(size=(1, 64, 48, 4)).astype(np.float32))
-        out = resize_bilinear(x, (32, 24))
-        ref = jax.image.resize(x, (1, 32, 24, 4), method="bilinear")
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(1, 56, 56, 4)).astype(np.float32))
+        out = np.asarray(resize_bilinear(x, (32, 32)))
+        aa = np.asarray(jax.image.resize(x, (1, 32, 32, 4),
+                                         method="bilinear"))  # antialias=True
+        assert float(np.abs(out - aa).max()) > 0.2
