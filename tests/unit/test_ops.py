@@ -134,6 +134,54 @@ class TestResizeBilinear:
                                 ).numpy().transpose(0, 2, 3, 1)
             np.testing.assert_allclose(out, ref, atol=2e-6)
 
+    def test_banded_matches_dense(self):
+        """At eval-protocol lengths resize_bilinear switches to the banded
+        matmul (models/cab.py _resize_axis_banded). The dropped columns are
+        exact 0.0 weights, so banded matches the dense interp matmul to
+        reduction-order ULPs (the two taps may associate differently in a
+        shorter dot) — thin strips keep the check cheap on CPU."""
+        import jax.numpy as jnp
+
+        from cabinet_tpu.models.cab import (_BAND_MIN_IN, _interp_matrix,
+                                            resize_bilinear)
+
+        rng = np.random.default_rng(3)
+        # (n_in, n_out): down 1.75x, up from exactly the banding threshold,
+        # and a non-multiple-of-chunk output
+        for n_in, n_out in [(2048, 1170), (_BAND_MIN_IN, 1792), (1536, 900)]:
+            x = rng.normal(size=(1, n_in, 4, 3)).astype(np.float32)
+            out = np.asarray(resize_bilinear(jnp.asarray(x), (n_out, 4)))
+            dense = np.einsum("ph,bhwc->bpwc",
+                              np.asarray(_interp_matrix(n_in, n_out)), x)
+            np.testing.assert_allclose(out, dense, atol=1e-6)
+            # W axis via the same sizes transposed
+            xt = np.ascontiguousarray(x.transpose(0, 2, 1, 3))
+            out_w = np.asarray(resize_bilinear(jnp.asarray(xt), (4, n_out)))
+            np.testing.assert_allclose(out_w, dense.transpose(0, 2, 1, 3),
+                                       atol=1e-6)
+
+    def test_banded_matches_torch(self):
+        """End-to-end: a both-axes-banded resize still matches torch.
+
+        Tolerance note (measured): against the f64 ground truth at this
+        size, OUR f32 matmul chain is within 4.3e-7 while torch's own f32
+        F.interpolate carries 1.4e-4 of rounding — the 3e-4 budget here is
+        torch's noise, not ours."""
+        import jax.numpy as jnp
+
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from cabinet_tpu.models.cab import resize_bilinear
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(1, 1512, 1280, 2)).astype(np.float32)
+        out = np.asarray(resize_bilinear(jnp.asarray(x), (864, 2240)))
+        ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                            (864, 2240), mode="bilinear",
+                            align_corners=False).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(out, ref, atol=3e-4)
+
     def test_no_antialias_on_downscale(self):
         """Guard the divergence itself: the anti-aliased jax.image kernel
         must NOT be what we compute (it differs from torch by ~2.0 on
