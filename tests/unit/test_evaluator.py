@@ -199,6 +199,35 @@ def test_tile_batch_is_bit_identical():
         np.testing.assert_array_equal(hist, outs[0][1])
 
 
+def test_cross_scale_fold_matches_per_scale_composition():
+    """The folded multi-scale path (_summed_probs_folded — one global chip
+    list spanning all scales, uniform forward batches) must reproduce the
+    per-scale _scale_probs sum bit-for-bit in f32: same chips, same
+    per-scale accumulation order, only forward batch composition differs."""
+    import jax
+
+    from cabinet_tpu.eval.evaluator import _scale_probs
+
+    apply = _rand_apply_model()
+    rng = np.random.default_rng(7)
+    img = rng.normal(size=(1, 70, 90, 3)).astype(np.float32)
+    scales = (0.5, 0.75, 1.0, 1.5)
+
+    ev = MscEval(apply, N_CLASSES, scales=scales, flip=True, cropsize=32,
+                 tile_batch=16)
+    folded = ev.prob_batch({}, img)
+
+    @jax.jit
+    def per_scale(image):
+        total = jnp.zeros((1, 70, 90, N_CLASSES), jnp.float32)
+        for s in scales:
+            total = total + _scale_probs(apply, N_CLASSES, 32, True, s, {},
+                                         image, None, 16)
+        return total
+
+    np.testing.assert_array_equal(folded, np.asarray(per_scale(jnp.asarray(img))))
+
+
 def test_bf16_accumulation_tracks_f32():
     """acc_dtype=bf16 (the TPU serving default under bf16 compute) predicts
     within tolerance of the exact f32 chain."""
