@@ -3,6 +3,11 @@
 The artifact contract: uint8 RGB in -> int32 class IDs out, weights +
 normalization baked into one StableHLO program, bit-exact against the live
 model on the same platform, and deserializable without the checkpoint.
+
+Lives in the integration lane: every test here exports real artifact
+directories to disk and round-trips them the way cli.export/cli.serve do
+(the serialize+deserialize passes are also the unit suite's largest
+compile sinks — ~100s on a 1-core host).
 """
 
 import json
