@@ -84,70 +84,6 @@ def _chip_probs(apply_fn: ApplyFn, variables: Any, chip: jnp.ndarray,
 TILE_BATCH = 16  # tiles folded into one model forward (dataset batch x tiles)
 
 
-def _sliding_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
-                   variables: Any, image: jnp.ndarray,
-                   tile_batch: int = TILE_BATCH,
-                   acc_dtype: Any = jnp.float32) -> jnp.ndarray:
-    """Overlap-normalized probability map at the image's own resolution.
-
-    `image` is NHWC with H,W static for this trace.
-
-    Tiles are BATCHED through the model (groups of up to tile_batch // B per
-    forward): eval batch sizes are 1-2, and a batch-1 forward runs ~4x below
-    the chip's large-batch throughput, so folding the tile dimension into the
-    batch dimension recovers most of it. Extraction/accumulation stay as
-    dynamic slices over the static grid.
-
-    acc_dtype=bf16 halves the HBM traffic of the probability accumulation
-    (the maps dominate the protocol's non-model time at 4K) — on by default
-    only for bf16 compute, where the model logits already carry bf16 noise;
-    f32 compute keeps the reference-exact f32 chain (parity suites).
-    """
-    B, H, W, _ = image.shape
-
-    # Centered zero-pad up to the crop size where needed (pad_tensor :60-72).
-    full_h, full_w = max(H, crop), max(W, crop)
-    hst, wst = (full_h - H) // 2, (full_w - W) // 2
-    if (full_h, full_w) != (H, W):
-        image = jnp.pad(image, ((0, 0), (hst, full_h - H - hst),
-                                (wst, full_w - W - wst), (0, 0)))
-
-    grid = tile_grid(full_h, full_w, crop)
-    group = max(tile_batch // B, 1)
-
-    prob = jnp.zeros((B, full_h, full_w, n_classes), acc_dtype)
-    count = jnp.zeros((full_h, full_w), jnp.float32)
-    ones = jnp.ones((crop, crop), jnp.float32)
-
-    for g0 in range(0, len(grid), group):
-        chunk = [tuple(yx) for yx in grid[g0:g0 + group]]
-        chips = jnp.concatenate([
-            jax.lax.dynamic_slice(image, (0, y, x, 0),
-                                  (B, crop, crop, image.shape[-1]))
-            for (y, x) in chunk
-        ], axis=0)  # (len(chunk)*B, crop, crop, C)
-        # bf16 accumulation implies the bf16 softmax chain (same noise
-        # class, and the f32 logits cast alone is ~1/3 of protocol time)
-        cps = _chip_probs(apply_fn, variables, chips, flip,
-                          prob_dtype=acc_dtype).astype(acc_dtype)
-        for i, (y, x) in enumerate(chunk):
-            cp = jax.lax.dynamic_slice(
-                cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
-            cur = jax.lax.dynamic_slice(prob, (0, y, x, 0),
-                                        (B, crop, crop, n_classes))
-            prob = jax.lax.dynamic_update_slice(prob, cur + cp, (0, y, x, 0))
-            ccur = jax.lax.dynamic_slice(count, (y, x), (crop, crop))
-            count = jax.lax.dynamic_update_slice(count, ccur + ones, (y, x))
-
-    # true division (not reciprocal-multiply): the f32 path must stay
-    # bit-identical to the reference's `prob /= count`
-    prob = prob / jnp.maximum(count, 1.0).astype(acc_dtype)[None, :, :, None]
-
-    if (full_h, full_w) != (H, W):
-        prob = jax.lax.dynamic_slice(prob, (0, hst, wst, 0), (B, H, W, n_classes))
-    return prob
-
-
 def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
                                 flip: bool, mesh, variables: Any,
                                 image: jnp.ndarray,
@@ -266,7 +202,11 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
     per_scale = []  # (sh, sw, full_h, full_w, hst, wst, scaled, grid)
     for s in scales:
         sh, sw = int(H * s), int(W * s)
+        # separable 2-tap interp matmuls in BOTH directions — bit-matching
+        # the reference's torch F.interpolate(bilinear) sampling (never
+        # anti-aliased; see models/cab.py docstring), MXU not gathers.
         scaled = resize_bilinear(image, (sh, sw))
+        # centered zero-pad up to crop size where needed (pad_tensor :60-72)
         full_h, full_w = max(sh, crop), max(sw, crop)
         hst, wst = (full_h - sh) // 2, (full_w - sw) // 2
         if (full_h, full_w) != (sh, sw):
@@ -278,10 +218,29 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
     jobs = [(si, int(y), int(x))
             for si, ps in enumerate(per_scale)
             for (y, x) in ps[7]]
-    probs = [jnp.zeros((B, ps[2], ps[3], n_classes), acc_dtype)
-             for ps in per_scale]
-    counts = [jnp.zeros((ps[2], ps[3]), jnp.float32) for ps in per_scale]
+    last_job = {si: idx for idx, (si, _, _) in enumerate(jobs)}
     ones = jnp.ones((crop, crop), jnp.float32)
+    # Accumulators open at a scale's first tile and FINALIZE (divide, unpad,
+    # resize to native, add into `total`) right after its last tile — jobs
+    # are scale-ordered, so at most the scales sharing one fold group are
+    # ever live at once. Keeping all six 4K accumulators live to the end
+    # would multiply peak HBM ~3x for nothing.
+    probs: Dict[int, jnp.ndarray] = {}
+    counts: Dict[int, jnp.ndarray] = {}
+    total = jnp.zeros((B, H, W, n_classes), jnp.float32)
+
+    def finalize(si: int, total: jnp.ndarray) -> jnp.ndarray:
+        sh, sw, full_h, full_w, hst, wst, _, _ = per_scale[si]
+        # true division (not reciprocal-multiply): the f32 path must stay
+        # bit-identical to the reference's `prob /= count`
+        p = (probs.pop(si)
+             / jnp.maximum(counts.pop(si), 1.0
+                           ).astype(acc_dtype)[None, :, :, None])
+        if (full_h, full_w) != (sh, sw):
+            p = jax.lax.dynamic_slice(p, (0, hst, wst, 0),
+                                      (B, sh, sw, n_classes))
+        # native accumulator stays f32 (sum of <=6 maps, cheap traffic)
+        return total + resize_bilinear(p, (H, W))
 
     for g0 in range(0, len(jobs), group):
         chunk = jobs[g0:g0 + group]
@@ -290,9 +249,15 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
                                   (B, crop, crop, image.shape[-1]))
             for (si, y, x) in chunk
         ], axis=0)
+        # bf16 accumulation implies the bf16 softmax chain (same noise
+        # class, and the f32 logits cast alone is ~1/3 of protocol time)
         cps = _chip_probs(apply_fn, variables, chips, flip,
-                          prob_dtype=acc_dtype).astype(acc_dtype)
+                          prob_dtype=acc_dtype)
         for i, (si, y, x) in enumerate(chunk):
+            if si not in probs:
+                fh, fw = per_scale[si][2], per_scale[si][3]
+                probs[si] = jnp.zeros((B, fh, fw, n_classes), acc_dtype)
+                counts[si] = jnp.zeros((fh, fw), jnp.float32)
             cp = jax.lax.dynamic_slice(
                 cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
             cur = jax.lax.dynamic_slice(probs[si], (0, y, x, 0),
@@ -302,15 +267,8 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
             ccur = jax.lax.dynamic_slice(counts[si], (y, x), (crop, crop))
             counts[si] = jax.lax.dynamic_update_slice(counts[si],
                                                       ccur + ones, (y, x))
-
-    total = jnp.zeros((B, H, W, n_classes), jnp.float32)
-    for (sh, sw, full_h, full_w, hst, wst, _, _), acc, cnt in zip(
-            per_scale, probs, counts):
-        p = acc / jnp.maximum(cnt, 1.0).astype(acc_dtype)[None, :, :, None]
-        if (full_h, full_w) != (sh, sw):
-            p = jax.lax.dynamic_slice(p, (0, hst, wst, 0),
-                                      (B, sh, sw, n_classes))
-        total = total + resize_bilinear(p, (H, W))
+            if g0 + i == last_job[si]:
+                total = finalize(si, total)
     return total
 
 
@@ -318,22 +276,20 @@ def _scale_probs(apply_fn: ApplyFn, n_classes: int, crop: int, flip: bool,
                  scale: float, variables: Any, image: jnp.ndarray,
                  tile_mesh=None, tile_batch: int = TILE_BATCH,
                  acc_dtype: Any = jnp.float32) -> jnp.ndarray:
+    """One scale's native-resolution probability map. tile_mesh selects the
+    context-parallel shard_map variant; the single-device case is exactly
+    the folded engine restricted to one scale (one code path to maintain)."""
+    if tile_mesh is None:
+        return _summed_probs_folded(apply_fn, n_classes, crop, flip,
+                                    (scale,), variables, image, tile_batch,
+                                    acc_dtype)
     B, H, W, C = image.shape
     sh, sw = int(H * scale), int(W * scale)
-    # resize_bilinear: separable 2-tap interp matmuls in BOTH directions —
-    # bit-matching the reference's torch F.interpolate(bilinear) sampling
-    # (never anti-aliased; see models/cab.py docstring) and riding the MXU
-    # instead of the gather lowering.
     scaled = resize_bilinear(image, (sh, sw))
-    if tile_mesh is not None:
-        prob = _sliding_probs_tile_sharded(apply_fn, n_classes, crop, flip,
-                                           tile_mesh, variables, scaled,
-                                           tile_batch=tile_batch,
-                                           acc_dtype=acc_dtype)
-    else:
-        prob = _sliding_probs(apply_fn, n_classes, crop, flip, variables,
-                              scaled, tile_batch=tile_batch,
-                              acc_dtype=acc_dtype)
+    prob = _sliding_probs_tile_sharded(apply_fn, n_classes, crop, flip,
+                                       tile_mesh, variables, scaled,
+                                       tile_batch=tile_batch,
+                                       acc_dtype=acc_dtype)
     # bf16 maps ride the separable-matmul resize on the bf16 MXU (4x the
     # f32 rate) with f32 accumulation inside the einsum.
     return resize_bilinear(prob, (H, W))

@@ -60,9 +60,17 @@ _BAND_MIN_IN = 1024  # band an axis only when its input length reaches this
 def _band_layout(n_in: int, n_out: int,
                  chunk: int) -> Tuple[np.ndarray, int]:
     """Static banded-resize layout: per-chunk input band starts and the
-    uniform band length L (multiple of 8 sublanes, <= n_in)."""
-    o = np.arange(n_out, dtype=np.float64)
-    src = np.clip((o + 0.5) * (n_in / n_out) - 0.5, 0.0, n_in - 1)
+    uniform band length L (multiple of 8 sublanes, <= n_in).
+
+    Tap indices are computed with the SAME f32 arithmetic `_banded_weights`
+    uses on device — an f64 layout can disagree with the f32 floor() at
+    ~1e-4 of output rows, and a disagreement landing on a chunk's extreme
+    tap would silently drop that tap's weight (one_hot out of range returns
+    a zero row, no error). Containment is asserted below so any future
+    divergence fails loudly at trace time instead."""
+    o = np.arange(n_out, dtype=np.float32)
+    src = np.clip((o + np.float32(0.5)) * np.float32(n_in / n_out)
+                  - np.float32(0.5), np.float32(0.0), np.float32(n_in - 1))
     lo = np.floor(src).astype(np.int64)
     hi = np.minimum(lo + 1, n_in - 1)
     n_chunks = -(-n_out // chunk)
@@ -72,7 +80,12 @@ def _band_layout(n_in: int, n_out: int,
         i0.append(int(lo[a:b].min()))
         need = max(need, int(hi[a:b].max()) - i0[-1] + 1)
     L = min(-(-need // 8) * 8, n_in)
-    return np.minimum(np.asarray(i0, np.int64), n_in - L), L
+    starts = np.minimum(np.asarray(i0, np.int64), n_in - L)
+    for j in range(n_chunks):
+        a, b = j * chunk, min((j + 1) * chunk, n_out)
+        assert int(lo[a:b].min()) >= starts[j], (n_in, n_out, chunk, j)
+        assert int(hi[a:b].max()) < starts[j] + L, (n_in, n_out, chunk, j)
+    return starts, L
 
 
 def _banded_weights(n_in: int, n_out: int, chunk: int, i0_np: np.ndarray,

@@ -328,11 +328,11 @@ def test_int8_ptq_miou_at_scale(trained_variables):
     q_apply = make_quantized_apply(model, scales_map)
 
     # 2 scales (not the full 6): the protocol programs compile for BOTH
-    # evaluators on the 1-core CI host; an up- and a down-scale + flip + the
-    # 3x3 tile grid already exercise every protocol element the quant delta
-    # could hide in (the full 6-scale protocol is covered by
-    # test_miou_parity_at_scale above on the same fixture).
-    eval_scales = (1.0, 1.25)
+    # evaluators on the 1-core CI host. 0.75 exercises the sub-native
+    # input-downscale leg, 1.25 the prob-map-downscale return trip — every
+    # protocol element the quant delta could hide in (the full 6-scale
+    # protocol is covered by test_miou_parity_at_scale on the same fixture).
+    eval_scales = (0.75, 1.25)
     ev_f = MscEval(model.apply, N_CLASSES, ignore_label=255,
                    scales=eval_scales, flip=True, cropsize=256)
     ev_q = MscEval(q_apply, N_CLASSES, ignore_label=255,
