@@ -12,6 +12,8 @@ Extra modes (one JSON line each, for NOTES/regression tracking):
   python bench.py yolo [n s m ...]    — YOLO-sem inference img/s by variant
   python bench.py yolo-train [...]    — YOLO-sem train-step img/s
   python bench.py eval4k              — full-protocol 4K eval s/img
+  python bench.py eval4k-agree        — bf16 fast chain vs f32 chain argmax
+                                        agreement at 4K (quality guard)
   python bench.py infer-int8          — int8 PTQ serving path (quant.py)
   python bench.py infer-fused-tail    — fused FFM+head decoder tail kernels
   python bench.py infer-xla           — force the pure-XLA inference path
@@ -363,6 +365,55 @@ def bench_eval4k() -> dict:
     }
 
 
+def bench_eval4k_agree() -> dict:
+    """Quality guard for the 4K fast chain: argmax agreement of the bf16
+    accumulation+softmax path (TPU serving default under bf16 compute)
+    against the f32 chain on the same random-weight 4K frame — random
+    weights are the worst case (tiny margins everywhere); trained models
+    have far larger margins. All reductions on device (D2H is a slow
+    relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.models import make_fused_tail_apply
+
+    EH, EW = 2160, 4096
+    model, variables = _build(use_pallas=True)
+    fwd = make_fused_tail_apply(model, variables)
+    apply_fn = lambda v, x, train=False: fwd(x)  # noqa: E731
+    common = dict(n_classes=8, scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+                  flip=True, cropsize=1024, compute_dtype=jnp.bfloat16,
+                  tile_batch=64)
+    ev_fast = MscEval(apply_fn, **common)  # bf16 acc + bf16 softmax chain
+    ev_f32 = MscEval(apply_fn, acc_dtype=jnp.float32, **common)
+
+    rng = np.random.default_rng(0)
+    imgs = jax.device_put(jnp.asarray(rng.normal(size=(1, EH, EW, 3)),
+                                      jnp.bfloat16))
+
+    @jax.jit
+    def stats(pa, pb):
+        dis = pa.argmax(-1) != pb.argmax(-1)
+        s = jnp.sort(pb, axis=-1)
+        margin = s[..., -1] - s[..., -2]
+        dm = jnp.where(dis, margin, 0.0)
+        n = dis.sum()
+        return dis.mean(), n, dm.max()
+
+    pa = ev_fast._program_probs(1, EH, EW)(variables, imgs)
+    pb = ev_f32._program_probs(1, EH, EW)(variables, imgs)
+    dis_frac, n, max_m = (float(x) for x in stats(pa, pb))
+    return {
+        "metric": ("4K protocol argmax agreement: bf16 fast chain vs f32 "
+                   f"chain (random weights; {int(n)} flips, "
+                   f"max flip margin {max_m:.1e})"),
+        "value": round(1.0 - dis_frac, 6),
+        "unit": "fraction",
+        "vs_baseline": round((1.0 - dis_frac) / 0.999, 6),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     mode = args[0] if args else "infer"
@@ -405,6 +456,8 @@ def main() -> None:
                          variants=tuple(args[1:]) or ("n", "s", "m"))
     elif mode == "eval4k":
         out = bench_eval4k()
+    elif mode == "eval4k-agree":
+        out = bench_eval4k_agree()
     else:
         raise SystemExit(f"unknown bench mode: {mode}")
     print(json.dumps(out))
