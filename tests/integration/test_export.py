@@ -68,6 +68,22 @@ def test_roundtrip_bit_exact(small_model, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_load_bare_file_picks_up_sibling_metadata(small_model, tmp_path):
+    """Pointing load_artifact at the .stablehlo FILE (not its directory)
+    must still find the sibling metadata.json — consumers falling back to
+    unrelated defaults (imgsz, palette) is how silent shape mismatches are
+    born."""
+    model, variables = small_model
+    exported = export_serving(model, variables, mean=MEAN, std=STD,
+                              imgsz=IMGSZ, batch=1)
+    out = save_artifact(exported, tmp_path / "art", {"dataset": "sib",
+                                                     "imgsz": IMGSZ})
+    serve, meta = load_artifact(out / ARTIFACT_NAME)
+    assert meta["dataset"] == "sib" and meta["imgsz"] == IMGSZ
+    got = np.asarray(serve(jnp.asarray(_random_u8(1))))
+    assert got.shape == (1, IMGSZ, IMGSZ)
+
+
 def test_symbolic_batch(small_model, tmp_path):
     model, variables = small_model
     exported = export_serving(model, variables, mean=MEAN, std=STD,

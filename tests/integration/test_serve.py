@@ -48,6 +48,32 @@ def test_healthz(server):
     assert meta["status"] == "ok" and meta["dataset"] == "test"
 
 
+def test_metadataless_artifact_fails_at_startup(tmp_path):
+    """A bare artifact file with no metadata.json anywhere must fail at
+    startup with a clear message — not accept requests and die per-request
+    on a shape mismatch against the CLI-default imgsz."""
+    import shutil
+
+    import pytest
+
+    from cabinet_tpu.cli.serve import _Engine
+    from cabinet_tpu.export import ARTIFACT_NAME, METADATA_NAME
+
+    # reuse the artifact the module fixture wrote: copy the .stablehlo out
+    # alone (the 'moved away from its export directory' scenario)
+    src = None
+    for p in tmp_path.parent.rglob(ARTIFACT_NAME):
+        if (p.parent / METADATA_NAME).exists():
+            src = p
+            break
+    if src is None:
+        pytest.skip("no artifact from the module fixture to copy")
+    bare = tmp_path / ARTIFACT_NAME
+    shutil.copy(src, bare)
+    with pytest.raises(SystemExit, match="metadata.json"):
+        _Engine(str(bare), None, None, "small", 64, "float32")
+
+
 def _post_png(url, rgb):
     buf = io.BytesIO()
     Image.fromarray(rgb).save(buf, format="PNG")
