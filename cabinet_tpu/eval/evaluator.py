@@ -496,6 +496,17 @@ class MscEval:
     def evaluate(self, variables: Any,
                  dataloader: Iterable[Tuple[np.ndarray, np.ndarray]],
                  progress: bool = False) -> Dict[str, Any]:
+        """Full-loader evaluation with one-ahead device staging.
+
+        Host-side preparation (resolution-bucket padding, the multithreaded
+        bf16 cast, and the H2D transfer — ~100 MB per 4K frame) runs on a
+        worker thread one batch ahead of the device, so staging overlaps
+        the previous image's protocol compute instead of serializing with
+        it (r2 measured staging as the dominant wall-clock term at 4K).
+        A maxsize-2 queue bounds the in-flight host+device footprint."""
+        import queue as _queue
+        from threading import Thread
+
         hist = np.zeros((self.n_classes, self.n_classes), np.float64)
         it = dataloader
         if progress:
@@ -505,8 +516,34 @@ class MscEval:
                 it = tqdm(dataloader, desc="Evaluating", dynamic_ncols=True)
             except ImportError:  # pragma: no cover
                 pass
-        for images, labels in it:
-            hist += self.hist_batch(variables, images, labels)
+        pvars = self._prepare_variables(variables)
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+        _done = object()
+
+        def stage():
+            try:
+                for images, labels in it:
+                    images, labels, _ = self._pad_to_bucket(images, labels)
+                    q.put((self._to_device(images), jnp.asarray(labels)))
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+                return
+            q.put(_done)
+
+        worker = Thread(target=stage, daemon=True)
+        worker.start()
+        while True:
+            item = q.get()
+            if item is _done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            images_d, labels_d = item
+            B, H, W = (int(images_d.shape[0]), int(images_d.shape[1]),
+                       int(images_d.shape[2]))
+            _, h = self._program(B, H, W)(pvars, images_d, labels_d)
+            hist += np.asarray(h)  # blocks on device; worker stages ahead
+        worker.join()
         if jax.process_count() > 1:  # pragma: no cover - multi-host only
             hist = np.asarray(
                 jax.experimental.multihost_utils.process_allgather(hist)

@@ -130,6 +130,35 @@ def test_full_evaluate_over_loader():
     assert res["iou_per_class"]["class_2"] == pytest.approx(1.0)
 
 
+def test_evaluate_propagates_loader_exceptions():
+    """The one-ahead staging worker must surface loader exceptions to the
+    caller, not swallow them into a truncated (wrong) metric."""
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=32)
+
+    def broken_loader():
+        yield (np.zeros((1, 40, 40, 3), np.float32),
+               np.full((1, 40, 40), 2, np.int64))
+        raise RuntimeError("disk went away")
+
+    with pytest.raises(RuntimeError, match="disk went away"):
+        ev.evaluate({}, broken_loader())
+
+
+def test_evaluate_mixed_resolutions_over_loader():
+    """The staged pipeline keys programs off each staged batch's own shape
+    (variable-resolution loaders compile one program per bucket)."""
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=32)
+
+    def loader():
+        yield (np.zeros((1, 40, 40, 3), np.float32),
+               np.full((1, 40, 40), 2, np.int64))
+        yield (np.zeros((1, 56, 48, 3), np.float32),
+               np.full((1, 56, 48), 2, np.int64))
+
+    res = ev.evaluate({}, loader())
+    assert res["accuracy"] == pytest.approx(1.0)
+
+
 def test_pad_to_bucket_one_program_and_clean_hist():
     """Resolution bucketing (SURVEY §7.3): two native resolutions share ONE
     compiled program; padded pixels never reach the histogram; returned
