@@ -141,6 +141,9 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
                     (B, crop, crop, image.shape[-1]))
                 for i in range(group)
             ], axis=0)
+            # layout anchor — see _summed_probs_folded (keeps the conv's
+            # batch-minor layout demand off the full scaled image)
+            chips = jax.lax.optimization_barrier(chips)
             cps = _chip_probs(apply_fn, variables, chips, flip,
                               prob_dtype=acc_dtype)
             for i in range(group):
@@ -237,18 +240,27 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
              / jnp.maximum(counts.pop(si), 1.0
                            ).astype(acc_dtype)[None, :, :, None])
         if (full_h, full_w) != (sh, sw):
-            p = jax.lax.dynamic_slice(p, (0, hst, wst, 0),
-                                      (B, sh, sw, n_classes))
+            p = p[:, hst:hst + sh, wst:wst + sw, :]
         # native accumulator stays f32 (sum of <=6 maps, cheap traffic)
         return total + resize_bilinear(p, (H, W))
 
     for g0 in range(0, len(jobs), group):
         chunk = jobs[g0:g0 + group]
         chips = jnp.concatenate([
-            jax.lax.dynamic_slice(per_scale[si][6], (0, y, x, 0),
-                                  (B, crop, crop, image.shape[-1]))
+            per_scale[si][6][:, y:y + crop, x:x + crop, :]
             for (si, y, x) in chunk
         ], axis=0)
+        # Layout anchor — REQUIRED on TPU. The model's first convs prefer a
+        # batch-minor chip layout; without the barrier, XLA's layout
+        # assignment propagates that demand through concat+slice onto the
+        # FULL scaled images, whose producer (the banded-resize einsum)
+        # pins a dot layout — the conflict materializes each scaled image
+        # as a {0,3,2,1:T(4,128)} copy that pads B=1 to 128 lanes (measured
+        # on v5e at 4K: a 20 GB allocation for a 119 MB bf16[1,3240,6144,3]
+        # tensor — compile-time OOM). The barrier cuts the propagation so
+        # the relayout lands on the chip batch, where B is already
+        # lane-sized (probe: peak temp 5.6 GB -> 0.42 GB at 512x1024).
+        chips = jax.lax.optimization_barrier(chips)
         # bf16 accumulation implies the bf16 softmax chain (same noise
         # class, and the f32 logits cast alone is ~1/3 of protocol time)
         cps = _chip_probs(apply_fn, variables, chips, flip,
@@ -258,15 +270,9 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
                 fh, fw = per_scale[si][2], per_scale[si][3]
                 probs[si] = jnp.zeros((B, fh, fw, n_classes), acc_dtype)
                 counts[si] = jnp.zeros((fh, fw), jnp.float32)
-            cp = jax.lax.dynamic_slice(
-                cps, (i * B, 0, 0, 0), (B, crop, crop, n_classes))
-            cur = jax.lax.dynamic_slice(probs[si], (0, y, x, 0),
-                                        (B, crop, crop, n_classes))
-            probs[si] = jax.lax.dynamic_update_slice(probs[si], cur + cp,
-                                                     (0, y, x, 0))
-            ccur = jax.lax.dynamic_slice(counts[si], (y, x), (crop, crop))
-            counts[si] = jax.lax.dynamic_update_slice(counts[si],
-                                                      ccur + ones, (y, x))
+            cp = cps[i * B:(i + 1) * B]
+            probs[si] = probs[si].at[:, y:y + crop, x:x + crop, :].add(cp)
+            counts[si] = counts[si].at[y:y + crop, x:x + crop].add(ones)
             if g0 + i == last_job[si]:
                 total = finalize(si, total)
     return total
