@@ -15,8 +15,11 @@ TPU-first design:
     ONE global chip list and BATCHED through the model (tile_batch at a
     time, uniform batches — the per-scale grids alone are 6..45 tiles and
     small-batch forwards run ~2x under the chip's large-batch throughput);
-    extraction/accumulation are dynamic slices (the tile-sharded multi-chip
-    variant keeps a per-scale lax.scan per device),
+    the overlap-add is WRITE-ONCE dataflow (`_assemble_scale`: concat of
+    static slices over coverage regions, per-region scalar divide) — a
+    dynamic-update-slice accumulator chain measured ~4x the assembly's
+    cost at 4K (the tile-sharded multi-chip variant keeps a per-scale
+    lax.scan per device, where tile indices are traced values),
   - the confusion matrix is computed on device (eval/metrics.py) — only a
     (C,C) int32 crosses to the host per batch,
   - programs are cached per (batch, H, W, scale) shape bucket; variable-
@@ -179,6 +182,61 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
     return prob
 
 
+def _coverage_regions(full: int, starts: Sequence[int], crop: int
+                      ) -> list:
+    """Partition [0, full) into spans tagged with the (ascending) indices of
+    the tiles covering each span. Tile starts come from `_tile_starts`
+    (sorted, unique); with stride = 5/6·crop a span is covered by 1..3
+    consecutive tiles per axis."""
+    edges = sorted({0, full, *[int(s) for s in starts],
+                    *[int(s) + crop for s in starts]})
+    regions = []
+    for lo, hi in zip(edges, edges[1:]):
+        cov = [i for i, s in enumerate(starts) if s <= lo and hi <= s + crop]
+        assert cov, (full, crop, lo, hi)  # tiles tile the whole canvas
+        regions.append((lo, hi, cov))
+    return regions
+
+
+def _assemble_scale(tiles: Sequence[jnp.ndarray], ys: Sequence[int],
+                    xs: Sequence[int], crop: int, full_h: int,
+                    full_w: int) -> jnp.ndarray:
+    """Overlap-normalized scale map assembled WRITE-ONCE from static tile
+    slices. `tiles` is the scale's per-tile probability list in grid order
+    (y-major); the output is the concat over coverage regions of
+    (sum of covering slices) / n_covering.
+
+    This replaces the reference's scatter-style accumulate-then-divide
+    (evaluate.py:216-221) with pure dataflow: measured on v5e at the 4K
+    protocol, the 124-job `.at[y:y+crop, x:x+crop].add` chain cost ~0.29
+    s/img over the no-accumulation ideal while this assembly costs ~0.07
+    (probe table in NOTES.md). Bit-exactness is preserved: within a region
+    the covering count k is CONSTANT, the slices are added in exactly the
+    grid order the scatter chain used, and dividing by the scalar k equals
+    dividing by the count map at those pixels (the reference's
+    `prob /= count`); k == 1 spans skip the divide (x/1.0 == x in IEEE).
+    """
+    nx = len(xs)
+    rows = []
+    for (ylo, yhi, ycov) in _coverage_regions(full_h, ys, crop):
+        cells = []
+        for (xlo, xhi, xcov) in _coverage_regions(full_w, xs, crop):
+            acc = None
+            for iy in ycov:
+                for ix in xcov:
+                    piece = tiles[iy * nx + ix][
+                        :, ylo - ys[iy]:yhi - ys[iy],
+                        xlo - xs[ix]:xhi - xs[ix], :]
+                    acc = piece if acc is None else acc + piece
+            k = len(ycov) * len(xcov)
+            if k > 1:
+                acc = acc / jnp.asarray(k, acc.dtype)
+            cells.append(acc)
+        rows.append(cells[0] if len(cells) == 1
+                    else jnp.concatenate(cells, axis=2))
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=1)
+
+
 def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
                          flip: bool, scales: Sequence[float], variables: Any,
                          image: jnp.ndarray, tile_batch: int,
@@ -193,16 +251,17 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
     keeping the whole protocol at the chip's large-batch throughput.
 
     The math is identical to the per-scale path: chips are extracted from
-    each scale's own resized image, and each scale's accumulator receives
-    its tiles in the same order — only the batch composition of the model
-    forwards changes (per-sample conv/BN/softmax results do not depend on
-    their batch neighbors; the fold-equivalence tests assert this stays
-    bit-exact in f32).
+    each scale's own resized image, each scale's map receives its tiles in
+    the same order, and overlap normalization happens at the same values as
+    the reference's `prob /= count` — only the batch composition of the
+    model forwards and the dataflow of the overlap-add change (write-once
+    `_assemble_scale` instead of a dynamic-update-slice chain; the
+    fold-equivalence tests assert the f32 chain stays bit-exact).
     """
     B, H, W, _ = image.shape
     group = max(tile_batch // B, 1)
 
-    per_scale = []  # (sh, sw, full_h, full_w, hst, wst, scaled, grid)
+    per_scale = []  # (sh, sw, full_h, full_w, hst, wst, scaled, ys, xs)
     for s in scales:
         sh, sw = int(H * s), int(W * s)
         # separable 2-tap interp matmuls in BOTH directions — bit-matching
@@ -215,30 +274,27 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
         if (full_h, full_w) != (sh, sw):
             scaled = jnp.pad(scaled, ((0, 0), (hst, full_h - sh - hst),
                                       (wst, full_w - sw - wst), (0, 0)))
-        per_scale.append((sh, sw, full_h, full_w, hst, wst, scaled,
-                          tile_grid(full_h, full_w, crop)))
+        stride = int(crop * EVAL_STRIDE_RATE)
+        ys = [int(v) for v in _tile_starts(full_h, crop, stride)]
+        xs = [int(v) for v in _tile_starts(full_w, crop, stride)]
+        per_scale.append((sh, sw, full_h, full_w, hst, wst, scaled, ys, xs))
 
-    jobs = [(si, int(y), int(x))
+    # grid order (y-major, x-major) — identical to tile_grid / the reference
+    jobs = [(si, y, x)
             for si, ps in enumerate(per_scale)
-            for (y, x) in ps[7]]
+            for y in ps[7] for x in ps[8]]
     last_job = {si: idx for idx, (si, _, _) in enumerate(jobs)}
-    ones = jnp.ones((crop, crop), jnp.float32)
-    # Accumulators open at a scale's first tile and FINALIZE (divide, unpad,
-    # resize to native, add into `total`) right after its last tile — jobs
-    # are scale-ordered, so at most the scales sharing one fold group are
-    # ever live at once. Keeping all six 4K accumulators live to the end
-    # would multiply peak HBM ~3x for nothing.
-    probs: Dict[int, jnp.ndarray] = {}
-    counts: Dict[int, jnp.ndarray] = {}
+    # A scale's per-tile maps collect as slices of the fold outputs and
+    # FINALIZE (assemble, unpad, resize to native, add into `total`) right
+    # after its last tile — jobs are scale-ordered, so at most the scales
+    # sharing one fold group are ever live at once (a fold buffer is freed
+    # once every scale it feeds has finalized).
+    pending: Dict[int, list] = {}
     total = jnp.zeros((B, H, W, n_classes), jnp.float32)
 
     def finalize(si: int, total: jnp.ndarray) -> jnp.ndarray:
-        sh, sw, full_h, full_w, hst, wst, _, _ = per_scale[si]
-        # true division (not reciprocal-multiply): the f32 path must stay
-        # bit-identical to the reference's `prob /= count`
-        p = (probs.pop(si)
-             / jnp.maximum(counts.pop(si), 1.0
-                           ).astype(acc_dtype)[None, :, :, None])
+        sh, sw, full_h, full_w, hst, wst, _, ys, xs = per_scale[si]
+        p = _assemble_scale(pending.pop(si), ys, xs, crop, full_h, full_w)
         if (full_h, full_w) != (sh, sw):
             p = p[:, hst:hst + sh, wst:wst + sw, :]
         # native accumulator stays f32 (sum of <=6 maps, cheap traffic)
@@ -266,13 +322,7 @@ def _summed_probs_folded(apply_fn: ApplyFn, n_classes: int, crop: int,
         cps = _chip_probs(apply_fn, variables, chips, flip,
                           prob_dtype=acc_dtype)
         for i, (si, y, x) in enumerate(chunk):
-            if si not in probs:
-                fh, fw = per_scale[si][2], per_scale[si][3]
-                probs[si] = jnp.zeros((B, fh, fw, n_classes), acc_dtype)
-                counts[si] = jnp.zeros((fh, fw), jnp.float32)
-            cp = cps[i * B:(i + 1) * B]
-            probs[si] = probs[si].at[:, y:y + crop, x:x + crop, :].add(cp)
-            counts[si] = counts[si].at[y:y + crop, x:x + crop].add(ones)
+            pending.setdefault(si, []).append(cps[i * B:(i + 1) * B])
             if g0 + i == last_job[si]:
                 total = finalize(si, total)
     return total

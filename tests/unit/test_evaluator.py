@@ -280,3 +280,36 @@ def test_acc_dtype_auto_follows_compute_dtype():
     ev = MscEval(constant_apply, N_CLASSES, compute_dtype=jnp.bfloat16,
                  acc_dtype=jnp.float32)
     assert ev.acc_dtype == jnp.float32
+
+
+def test_assemble_scale_matches_scatter_oracle():
+    """`_assemble_scale` (write-once concat dataflow) must reproduce the
+    reference's scatter-accumulate-then-divide (evaluate.py:216-221)
+    BIT-EXACTLY, including spans covered by 3 tiles per axis (a snapped
+    last tile can overlap the previous two: crop 32, stride 26, full 60
+    gives starts [0, 26, 28])."""
+    from cabinet_tpu.eval.evaluator import (_assemble_scale, _tile_starts)
+
+    crop, stride = 32, 26
+    for full_h, full_w in [(60, 59), (32, 90), (44, 44)]:
+        ys = [int(v) for v in _tile_starts(full_h, crop, stride)]
+        xs = [int(v) for v in _tile_starts(full_w, crop, stride)]
+        rng = np.random.default_rng(3)
+        tiles = [rng.normal(size=(2, crop, crop, 3)).astype(np.float32)
+                 for _ in range(len(ys) * len(xs))]
+
+        prob = np.zeros((2, full_h, full_w, 3), np.float32)
+        count = np.zeros((full_h, full_w), np.float32)
+        k = 0
+        for y in ys:
+            for x in xs:
+                prob[:, y:y + crop, x:x + crop, :] += tiles[k]
+                count[y:y + crop, x:x + crop] += 1.0
+                k += 1
+        oracle = prob / np.maximum(count, 1.0)[None, :, :, None]
+
+        got = np.asarray(_assemble_scale(
+            [jnp.asarray(t) for t in tiles], ys, xs, crop, full_h, full_w))
+        assert got.shape == oracle.shape
+        assert np.array_equal(got, oracle), (full_h, full_w,
+                                             np.abs(got - oracle).max())
