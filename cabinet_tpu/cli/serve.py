@@ -35,6 +35,10 @@ from typing import Optional, Sequence
 import numpy as np
 from PIL import Image
 
+# request-body ceiling: a lossless 8K PNG is ~100 MB; anything larger is
+# not a plausible single image for a segmentation request
+MAX_BODY_BYTES = 128 << 20
+
 
 class _Engine:
     """predict(rgb uint8 HxWx3) -> (mask HxW uint8, palette or None)."""
@@ -72,10 +76,13 @@ class _Engine:
                 self.palette = np.asarray(meta["palette"], np.uint8)
 
             def predict(rgb: np.ndarray) -> np.ndarray:
+                # pure-CPU preprocessing stays OUTSIDE the accelerator lock
+                # so concurrent requests' decode/resize work overlaps
                 im = Image.fromarray(rgb).resize((self.imgsz, self.imgsz),
                                                  Image.BILINEAR)
                 x = jnp.asarray(np.asarray(im, np.uint8)[None])
-                return np.asarray(serve(x))[0].astype(np.uint8)
+                with self._lock:  # one accelerator; serialize device calls
+                    return np.asarray(serve(x))[0].astype(np.uint8)
 
             self._predict = predict
         else:
@@ -89,11 +96,17 @@ class _Engine:
             self.imgsz = imgsz
             if dataset in PALETTES:
                 self.palette = trainid_palette(PALETTES[dataset])
-            self._predict = lambda rgb: seg.predict(rgb).astype(np.uint8)
+
+            def predict(rgb: np.ndarray) -> np.ndarray:
+                # Segmenter.predict mixes host prep and the device call;
+                # serialize it whole (one accelerator, one program)
+                with self._lock:
+                    return seg.predict(rgb).astype(np.uint8)
+
+            self._predict = predict
 
     def predict(self, rgb: np.ndarray) -> np.ndarray:
-        with self._lock:  # one accelerator; serialize device calls
-            return self._predict(rgb)
+        return self._predict(rgb)
 
 
 def make_handler(engine: _Engine):
@@ -134,6 +147,15 @@ def make_handler(engine: _Engine):
                              "use format=mask_png"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                return self._json(400, {"error": "bad Content-Length"})
+            if n > MAX_BODY_BYTES:
+                # the client-declared length is buffered whole before PIL
+                # validation — cap it so one request can't exhaust host RAM
+                return self._json(413, {
+                    "error": f"body {n} bytes exceeds the "
+                             f"{MAX_BODY_BYTES >> 20} MiB limit"})
+            try:
                 rgb = np.asarray(
                     Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB"))
             except Exception as e:

@@ -217,14 +217,21 @@ def train_and_evaluate(cfg) -> dict:
     # Run delimiter for metrics.jsonl: resumed/re-run trainings append to
     # the same file, so every line carries a per-run id and each run opens
     # with a marker line — consumers can split runs instead of
-    # double-counting interleaved epochs.
+    # double-counting interleaved epochs. Primary-host only (same guard as
+    # setup_logger's file handler): on multi-host every process runs this
+    # loop and a shared experiments_path would otherwise collect N
+    # interleaved copies of every line.
     import json as _json
 
+    from cabinet_tpu.core.logging import _is_primary_host
+
+    write_metrics = _is_primary_host()
     run_id = time.strftime("%Y%m%d-%H%M%S")
     metrics_path = Path(tc.experiments_path) / "metrics.jsonl"
-    with open(metrics_path, "a") as mf:
-        mf.write(_json.dumps({"run_start": run_id,
-                              "start_epoch": start_epoch}) + "\n")
+    if write_metrics:
+        with open(metrics_path, "a") as mf:
+            mf.write(_json.dumps({"run_start": run_id,
+                                  "start_epoch": start_epoch}) + "\n")
 
     results = {"best_miou": best_miou}
     try:
@@ -267,17 +274,18 @@ def train_and_evaluate(cfg) -> dict:
             # the reference's console-only history): one JSON line per
             # epoch under the experiment dir, safe to tail/plot while
             # training runs.
-            with open(metrics_path, "a") as mf:
-                mf.write(_json.dumps({
-                    "run": run_id,
-                    "epoch": epoch,
-                    "train_loss": (float(np.mean(losses)) if losses
-                                   else None),
-                    "val_loss": None if np.isnan(val_loss) else val_loss,
-                    "mIoU": fitness,
-                    "step": int(state.step),
-                    "seconds": round(time.time() - t0, 2),
-                }) + "\n")
+            if write_metrics:
+                with open(metrics_path, "a") as mf:
+                    mf.write(_json.dumps({
+                        "run": run_id,
+                        "epoch": epoch,
+                        "train_loss": (float(np.mean(losses)) if losses
+                                       else None),
+                        "val_loss": None if np.isnan(val_loss) else val_loss,
+                        "mIoU": fitness,
+                        "step": int(state.step),
+                        "seconds": round(time.time() - t0, 2),
+                    }) + "\n")
 
             should_stop = stopper(epoch, fitness)
             ckpt.save_full("checkpoint_last", state, epoch, best_miou,

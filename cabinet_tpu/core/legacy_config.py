@@ -80,7 +80,15 @@ def _fmt(value: Any) -> str:
         from decimal import Decimal
 
         return format(Decimal(repr(value)), "f")
-    return json.dumps(value) if isinstance(value, (list, bool)) else str(value)
+    if isinstance(value, list):
+        # json.dumps(1e-05) emits '1e-05' — the same YAML-regex trap as the
+        # scalar case, just nested (e.g. eval_scales) — so floats (and
+        # sublists) recurse through this formatter; strings keep their JSON
+        # quoting (top-level strings stay bare for path-like values)
+        return "[" + ", ".join(
+            _fmt(v) if isinstance(v, (float, list)) else json.dumps(v)
+            for v in value) + "]"
+    return json.dumps(value) if isinstance(value, bool) else str(value)
 
 
 def legacy_to_overrides(data: Dict[str, Any]) -> List[str]:

@@ -30,9 +30,15 @@ def make_grain_loader(
     seed: int = 0,
     num_workers: int = 0,
     drop_remainder: bool = True,
-    shard_by_process: bool = True,
+    shard: Optional[Tuple[int, int]] = None,
 ):
-    """Returns an iterable of (images (B,H,W,3) f32, labels (B,H,W) i64)."""
+    """Returns an iterable of (images (B,H,W,3) f32, labels (B,H,W) i64).
+
+    ``shard=(index, count)`` gives this iterator records
+    ``index::count``-style ownership of the dataset (grain's equalized
+    sharding) — the EXPLICIT tuple is honored, matching the thread
+    ``DataLoader(shard=...)`` contract, rather than silently substituting
+    grain's own ``jax.process_index()``."""
     import grain.python as gp
 
     class _Source(gp.RandomAccessDataSource):
@@ -47,11 +53,13 @@ def make_grain_loader(
     source = _Source()
     # Shard-level remainder handling is deliberately DECOUPLED from batch
     # drop_remainder: shards are always equalized (each process gets exactly
-    # n // process_count records) so every process yields the same number of
+    # n // shard_count records) so every process yields the same number of
     # batches — unequal per-host batch counts deadlock synchronized
     # multi-host training on the first collective of the missing step.
-    sharding = (gp.ShardByJaxProcess(drop_remainder=True)
-                if shard_by_process else gp.NoSharding())
+    sharding = (gp.ShardOptions(shard_index=int(shard[0]),
+                                shard_count=int(shard[1]),
+                                drop_remainder=True)
+                if shard is not None else gp.NoSharding())
     sampler = gp.IndexSampler(
         num_records=len(source),
         shard_options=sharding,
@@ -134,5 +142,5 @@ class GrainLoader:
             seed=self.seed + self._epoch,
             num_workers=self.num_workers,
             drop_remainder=self.drop_last,
-            shard_by_process=self.shard is not None,
+            shard=self.shard,
         )

@@ -561,7 +561,7 @@ class MscEval:
         it (r2 measured staging as the dominant wall-clock term at 4K).
         A maxsize-2 queue bounds the in-flight host+device footprint."""
         import queue as _queue
-        from threading import Thread
+        from threading import Event, Thread
 
         hist = np.zeros((self.n_classes, self.n_classes), np.float64)
         it = dataloader
@@ -575,31 +575,57 @@ class MscEval:
         pvars = self._prepare_variables(variables)
         q: _queue.Queue = _queue.Queue(maxsize=2)
         _done = object()
+        stop = Event()  # consumer died early — worker must not block forever
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def stage():
             try:
                 for images, labels in it:
+                    if stop.is_set():
+                        return
                     images, labels, _ = self._pad_to_bucket(images, labels)
-                    q.put((self._to_device(images), jnp.asarray(labels)))
+                    if not put((self._to_device(images),
+                                jnp.asarray(labels))):
+                        return
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(_done)
+            put(_done)
 
         worker = Thread(target=stage, daemon=True)
         worker.start()
-        while True:
-            item = q.get()
-            if item is _done:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            images_d, labels_d = item
-            B, H, W = (int(images_d.shape[0]), int(images_d.shape[1]),
-                       int(images_d.shape[2]))
-            _, h = self._program(B, H, W)(pvars, images_d, labels_d)
-            hist += np.asarray(h)  # blocks on device; worker stages ahead
-        worker.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _done:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                images_d, labels_d = item
+                B, H, W = (int(images_d.shape[0]), int(images_d.shape[1]),
+                           int(images_d.shape[2]))
+                _, h = self._program(B, H, W)(pvars, images_d, labels_d)
+                hist += np.asarray(h)  # blocks on device; worker stages ahead
+        finally:
+            # If the loop above raised (compile OOM on a new resolution,
+            # KeyboardInterrupt, ...) the worker may be blocked on a full
+            # queue holding ~100 MB device batches and any loader worker
+            # processes — release it and reclaim the staged buffers.
+            stop.set()
+            while worker.is_alive():
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    pass
+                worker.join(timeout=0.1)
         if jax.process_count() > 1:  # pragma: no cover - multi-host only
             hist = np.asarray(
                 jax.experimental.multihost_utils.process_allgather(hist)

@@ -108,3 +108,19 @@ def test_bad_body_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_oversized_body_rejected_413(server):
+    """A client-declared Content-Length past MAX_BODY_BYTES must be
+    rejected up front (413) — not buffered whole into host RAM."""
+    import urllib.error
+
+    from cabinet_tpu.cli.serve import MAX_BODY_BYTES
+
+    req = urllib.request.Request(
+        f"{server}/segment", data=b"x",
+        headers={"Content-Length": str(MAX_BODY_BYTES + 1)},
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 413

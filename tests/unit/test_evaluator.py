@@ -313,3 +313,31 @@ def test_assemble_scale_matches_scatter_oracle():
         assert got.shape == oracle.shape
         assert np.array_equal(got, oracle), (full_h, full_w,
                                              np.abs(got - oracle).max())
+
+
+def test_evaluate_consumer_failure_releases_staging_worker():
+    """If the consumer side of evaluate() raises (e.g. a compile failure on
+    a new resolution), the one-ahead staging worker must not stay blocked
+    forever on the full queue holding staged device batches."""
+    import threading
+    import time as _time
+
+    ev = MscEval(constant_apply, N_CLASSES, scales=(1.0,), cropsize=16)
+
+    def boom(B, H, W):
+        raise RuntimeError("synthetic compile failure")
+
+    ev._program = boom  # consumer-side failure on the first batch
+    batches = [(np.zeros((1, 16, 16, 3), np.float32),
+                np.zeros((1, 16, 16), np.int64)) for _ in range(6)]
+
+    before = set(threading.enumerate())
+    with pytest.raises(RuntimeError, match="synthetic compile failure"):
+        ev.evaluate({}, iter(batches))
+    deadline = _time.monotonic() + 5.0
+    while _time.monotonic() < deadline:
+        extra = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not extra:
+            break
+        _time.sleep(0.05)
+    assert not extra, f"staging worker leaked: {extra}"

@@ -22,8 +22,7 @@ class ToyDataset:
 
 
 def test_batches_and_shapes():
-    it = make_grain_loader(ToyDataset(10), batch_size=4, num_epochs=1,
-                           shard_by_process=False)
+    it = make_grain_loader(ToyDataset(10), batch_size=4, num_epochs=1)
     batches = list(it)
     assert len(batches) == 2  # drop_remainder
     imgs, lbls = batches[0]
@@ -34,8 +33,7 @@ def test_batches_and_shapes():
 def test_shuffle_deterministic_by_seed():
     def order(seed):
         it = make_grain_loader(ToyDataset(12), batch_size=12, shuffle=True,
-                               num_epochs=1, seed=seed,
-                               shard_by_process=False)
+                               num_epochs=1, seed=seed)
         (imgs, _), = list(it)
         return imgs[:, 0, 0, 0].astype(int).tolist()
 
@@ -46,8 +44,7 @@ def test_shuffle_deterministic_by_seed():
 
 
 def test_covers_all_samples():
-    it = make_grain_loader(ToyDataset(8), batch_size=2, num_epochs=1,
-                           shard_by_process=False)
+    it = make_grain_loader(ToyDataset(8), batch_size=2, num_epochs=1)
     seen = []
     for imgs, _ in it:
         seen.extend(imgs[:, 0, 0, 0].astype(int).tolist())
@@ -92,3 +89,21 @@ def test_grain_loader_worker_processes():
     dl = GrainLoader(ToyDataset(8), batch_size=4, num_workers=1, seed=0)
     seen = sorted(int(v) for imgs, _ in dl for v in imgs[:, 0, 0, 0])
     assert seen == list(range(8))
+
+
+def test_explicit_shard_tuple_is_honored():
+    """An explicit shard=(index, count) must partition the records like the
+    thread DataLoader does — NOT silently fall back to grain's own
+    jax.process_index() (which is 0 here, so a fallback would hand shard 1
+    the full dataset)."""
+    seen = {}
+    for idx in (0, 1):
+        it = make_grain_loader(ToyDataset(8), batch_size=2, num_epochs=1,
+                               shard=(idx, 2))
+        ids = []
+        for imgs, _ in it:
+            ids.extend(imgs[:, 0, 0, 0].astype(int).tolist())
+        assert len(ids) == 4, ids  # equalized: 8 // 2 records per shard
+        seen[idx] = set(ids)
+    assert seen[0] & seen[1] == set()
+    assert seen[0] | seen[1] == set(range(8))

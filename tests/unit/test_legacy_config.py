@@ -95,3 +95,17 @@ def test_legacy_floats_compose_as_floats():
     cfg = load_legacy_config(REPO_ROOT / "legacy" / "train_uavid.json")
     assert isinstance(cfg.training_config.warmup_start_lr, float)
     assert cfg.training_config.warmup_start_lr == pytest.approx(1e-5)
+
+
+def test_legacy_list_floats_compose_as_floats(tmp_path):
+    """Small floats INSIDE list values (eval_scales) must also render in
+    decimal form — json.dumps(1e-05) emits '1e-05', which YAML 1.1 parses
+    back as a string (the scalar-float trap, nested)."""
+    data = json.loads((REPO_ROOT / "legacy" / "train_uavid.json").read_text())
+    data["validation_config"]["eval_scales"] = [1e-05, 0.75, 1.0]
+    p = tmp_path / "legacy.json"
+    p.write_text(json.dumps(data))
+    cfg = load_legacy_config(p)
+    scales = list(cfg.validation_config.eval_scales)
+    assert all(isinstance(s, float) for s in scales), scales
+    assert scales[0] == pytest.approx(1e-05)
