@@ -18,6 +18,7 @@ Extra modes (one JSON line each, for NOTES/regression tracking):
   python bench.py infer-fused-tail    — fused FFM+head decoder tail kernels
   python bench.py infer-xla           — force the pure-XLA inference path
   python bench.py infer-fused         — force the fused Pallas early stage
+  python bench.py infer-small         — CABiNet-Small on the serving path
 
 Baseline: the BASELINE.json north star of >=500 img/s/chip on TPU v5e (the
 reference publishes no latency numbers at all — SURVEY §6).
@@ -40,14 +41,14 @@ K = 9  # chain length (K-1 differenced iterations)
 H = W = 1024
 
 
-def _build(dtype=None, remat=False, use_pallas=False):
+def _build(dtype=None, remat=False, use_pallas=False, mode="large"):
     import jax
     import jax.numpy as jnp
 
     from cabinet_tpu.models import CABiNet
 
     dtype = dtype or jnp.bfloat16
-    model = CABiNet(n_classes=8, mode="large", dtype=dtype, remat=remat,
+    model = CABiNet(n_classes=8, mode=mode, dtype=dtype, remat=remat,
                     use_pallas=use_pallas)
     init_x = jnp.zeros((1, H, W, 3), dtype)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), init_x,
@@ -64,16 +65,19 @@ def _min_time(f, n=2):
     return min(ts)
 
 
-def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
+def bench_infer(fused: bool, use_pallas: bool = True,
+                mode: str = "large") -> dict:
     """Inference throughput. use_pallas selects the fused Pallas CAB
     attention (measured 2.8% over the XLA einsum at batch 128: 0.951 vs
     0.977 ms/img, interleaved A/B reps); `fused` selects the Pallas
-    early-stage kernel (wins only at batch <= 32, see NOTES.md)."""
+    early-stage kernel (wins only at batch <= 32, see NOTES.md); `mode`
+    picks the CABiNet variant (the published table's second flagship
+    config is MobileNetV3-Small, reference README.md:55)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    model, variables = _build(use_pallas=use_pallas)
+    model, variables = _build(use_pallas=use_pallas, mode=mode)
     if fused == "int8":
         from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
 
@@ -134,8 +138,9 @@ def bench_infer(fused: bool, use_pallas: bool = True) -> dict:
            else "fused-tail+pallas-attn" if fused == "tail"
            else "fused-early" if fused
            else ("XLA+pallas-attn" if use_pallas else "XLA"))
+    name = "CABiNet-Large" if mode == "large" else "CABiNet-Small"
     return {
-        "metric": f"CABiNet-Large 1024x1024 bf16 inference ({tag}, batch {best_batch})",
+        "metric": f"{name} 1024x1024 bf16 inference ({tag}, batch {best_batch})",
         "value": round(best, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(best / BASELINE_IMG_S, 4),
@@ -437,6 +442,10 @@ def main() -> None:
         # Fused FFM+head decoder tail (ops/decoder_tail.py) on top of the
         # Pallas CAB attention.
         out = bench_infer(fused="tail", use_pallas=True)
+    elif mode == "infer-small":
+        # CABiNet-Small (the table's second flagship config) on the same
+        # fused serving path as the headline.
+        out = bench_infer(fused="tail", use_pallas=True, mode="small")
     elif mode == "infer-int8":
         # int8 PTQ serving path (cabinet_tpu/quant.py): MXU convs at 2x the
         # bf16 rate; depthwise/attention stay bf16. Random-data calibration
