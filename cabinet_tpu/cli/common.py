@@ -99,7 +99,7 @@ def build_datasets(cfg: Config, modes: Sequence[str]) -> List[Any]:
     builder = DATASET_KWARGS_BUILDERS[name]
     if not cfg.dataset.dataset_path:
         raise ConfigurationError(
-            f"dataset_path is empty — set the dataset root env var for "
+            "dataset_path is empty — set the dataset root env var for "
             f"'{name}' (see configs/dataset/{name}.yaml)")
     return [cls(**builder(cfg, mode)) for mode in modes]
 

@@ -83,7 +83,7 @@ def evaluate_checkpoint(cfg) -> dict:
         why = None
         if not fused_tail_supported(s8, s8, n_classes):
             why = (f"crop/8 grid {s8}x{s8} with {n_classes} classes is "
-                   f"outside kernel support")
+                   "outside kernel support")
         elif common.compute_dtype_of(cfg) != jnp.bfloat16:
             why = "requires runtime.compute_dtype=bfloat16"
         elif fused_tail != "true" and jax.default_backend() != "tpu":
@@ -100,9 +100,9 @@ def evaluate_checkpoint(cfg) -> dict:
             # The user EXPLICITLY asked for the fused path — a silent XLA
             # fallback would mislabel any measurement taken (ADVICE r2).
             raise ConfigurationError(
-                f"runtime.fused_tail=true but the fused decoder tail cannot "
+                "runtime.fused_tail=true but the fused decoder tail cannot "
                 f"be enabled: {why}. Drop the setting (or fix the config) to "
-                f"run the XLA path.")
+                "run the XLA path.")
 
     evaluator = MscEval(apply_fn, n_classes,
                         ignore_label=cfg.dataset.ignore_idx,

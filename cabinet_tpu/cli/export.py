@@ -164,7 +164,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         want = np.asarray(ref_fn(jnp.asarray(x)))
         if not np.array_equal(got, want):
             raise SystemExit(
-                f"round-trip check FAILED: artifact disagrees with the live "
+                "round-trip check FAILED: artifact disagrees with the live "
                 f"model on {np.sum(got != want)} / {got.size} pixels")
         console.print("[info]round-trip check passed (bit-exact vs live "
                       "model)[/info]")

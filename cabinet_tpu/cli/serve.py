@@ -60,9 +60,9 @@ class _Engine:
                 # then die on a cryptic shape mismatch. Fail at startup.
                 raise SystemExit(
                     f"artifact {artifact} has no metadata.json (bare file "
-                    f"moved away from its export directory?) — serve needs "
-                    f"the exported imgsz/batch; point --artifact at the "
-                    f"cli.export output directory")
+                    "moved away from its export directory?) — serve needs "
+                    "the exported imgsz/batch; point --artifact at the "
+                    "cli.export output directory")
             self.meta = meta
             self.imgsz = int(meta["imgsz"])
             batch = str(meta.get("batch", "1"))
@@ -71,7 +71,7 @@ class _Engine:
                 # single-image request — fail at startup, not per request
                 raise SystemExit(
                     f"artifact was exported with fixed batch {batch}; serve "
-                    f"needs batch 1 (or a symbolic batch, e.g. --batch b)")
+                    "needs batch 1 (or a symbolic batch, e.g. --batch b)")
             if meta.get("palette"):
                 self.palette = np.asarray(meta["palette"], np.uint8)
 

@@ -29,9 +29,9 @@ def confusion_matrix(pred: jnp.ndarray, label: jnp.ndarray, n_classes: int,
 
     valid = (label != ignore_label).reshape(-1)
     p = jnp.clip(pred, 0, n_classes - 1).astype(jnp.int32).reshape(-1)
-    l = jnp.clip(label, 0, n_classes - 1).astype(jnp.int32).reshape(-1)
+    lb = jnp.clip(label, 0, n_classes - 1).astype(jnp.int32).reshape(-1)
     oh_p = jax.nn.one_hot(p, n_classes, dtype=jnp.float32) * valid[:, None]
-    oh_l = jax.nn.one_hot(l, n_classes, dtype=jnp.float32)
+    oh_l = jax.nn.one_hot(lb, n_classes, dtype=jnp.float32)
     hist = jax.lax.dot_general(oh_p, oh_l,
                                dimension_numbers=(((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)

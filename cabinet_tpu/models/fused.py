@@ -63,7 +63,7 @@ def make_fused_apply(
         # no SE, stride 1, 16ch). Small-mode block_0 (SE, stride 2) falls
         # back to the XLA path.
         raise ValueError(
-            f"fused early stage supports the MobileNetV3-Large block_0 only, "
+            "fused early stage supports the MobileNetV3-Large block_0 only, "
             f"got cfg row {cfgs[0]}"
         )
     folded = fold_stem_block0_params(

@@ -31,7 +31,7 @@ Usage::
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Iterable, Tuple
 
 import flax.linen as nn
 import jax

@@ -132,7 +132,7 @@ def test_infer_segmenter_and_image(tmp_path, tiny_ckpt, monkeypatch):
 
 
 def test_convert_checkpoint_roundtrip(tmp_path, monkeypatch):
-    torch = pytest.importorskip("torch")
+    pytest.importorskip("torch")
     import jax
     import jax.numpy as jnp
 
@@ -140,7 +140,6 @@ def test_convert_checkpoint_roundtrip(tmp_path, monkeypatch):
     from cabinet_tpu.cli import convert_checkpoint as cc
     from cabinet_tpu.models import CABiNet
     from cabinet_tpu.train.checkpoint import CheckpointManager
-    from cabinet_tpu.utils.torch_convert import flax_to_torch
 
     cfgs = [[3, 1, 16, 1, 0, 2], [3, 4.5, 24, 0, 0, 2], [5, 4, 40, 1, 1, 2],
             [5, 6, 96, 1, 1, 2]]

@@ -12,7 +12,6 @@ import pytest
 from cabinet_tpu.train.checkpoint import CheckpointManager
 from cabinet_tpu.train.optimizer import build_optimizer
 from cabinet_tpu.train.trainer import (
-    TrainState,
     create_train_state,
     make_eval_loss_step,
     make_flush_step,

@@ -270,7 +270,7 @@ def test_miou_parity_at_scale(ref_eval, trained_variables):  # noqa: F811
         ties, n_pix, hist = _probs_ties_hist(ev, trained_variables, im, lb)
         assert ties < 1e-3 * n_pix, (
             f"class-{c} image: {ties} near-tie pixels — the fixture is not "
-            f"confident enough for a bit-exactness claim")
+            "confident enough for a bit-exactness claim")
 
         ref_out = run_ref(im, lb, f"c{c}")
         diff = np.abs(hist - ref_out["confusion_matrix"]).sum() / 2

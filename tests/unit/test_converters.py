@@ -2,7 +2,6 @@
 unknown-colour->255, round-trip, dry-run writes nothing, validation."""
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from cabinet_tpu.data.converters import (
@@ -14,7 +13,7 @@ from cabinet_tpu.data.converters import (
     convert_vdd,
     validate_id_mask,
 )
-from cabinet_tpu.data.palettes import PALETTES, UAVID_CLASSES
+from cabinet_tpu.data.palettes import UAVID_CLASSES
 
 
 def test_colour_map_ordered_by_trainid():

@@ -98,8 +98,8 @@ def test_confusion_matrix_matches_numpy_oracle():
 
     valid = label != 255
     p = np.clip(pred[valid], 0, N_CLASSES - 1)
-    l = np.clip(label[valid], 0, N_CLASSES - 1)
-    want = np.bincount(p * N_CLASSES + l,
+    lb = np.clip(label[valid], 0, N_CLASSES - 1)
+    want = np.bincount(p * N_CLASSES + lb,
                        minlength=N_CLASSES ** 2).reshape(N_CLASSES, N_CLASSES)
     np.testing.assert_array_equal(got, want)
 
@@ -166,7 +166,6 @@ def test_pad_to_bucket_one_program_and_clean_hist():
     ev = MscEval(checkerboard_apply, N_CLASSES, scales=(1.0,), cropsize=32,
                  pad_to=(48, 64))
     rng = np.random.default_rng(0)
-    total = np.zeros((N_CLASSES, N_CLASSES))
     for (h, w) in ((48, 64), (40, 56)):
         images = rng.normal(size=(1, h, w, 3)).astype(np.float32)
         labels = (images.mean(axis=-1) > 0).astype(np.int64)
@@ -174,7 +173,6 @@ def test_pad_to_bucket_one_program_and_clean_hist():
         assert preds.shape == (1, h, w)
         assert hist.sum() == h * w  # ignore-filled padding excluded
         np.testing.assert_array_equal(preds, labels)  # content unaffected
-        total += hist
     assert len(ev._progs) == 1  # both resolutions hit one shape bucket
 
 

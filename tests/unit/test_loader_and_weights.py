@@ -1,7 +1,6 @@
 """DataLoader batching/shuffle/shard tests + class-weight formula tests."""
 
 import numpy as np
-import pytest
 
 from cabinet_tpu.data.class_weights import compute_class_weights, get_class_pixel_counts
 from cabinet_tpu.data.loader import DataLoader

@@ -1,7 +1,6 @@
 """Warmup+poly schedule and grouped-SGD contract tests
 (reference test_training_pipeline.py:759-835 analog)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -2,7 +2,6 @@
 label ignore-fill, nearest-for-labels, photometric formulas."""
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from cabinet_tpu.data import transforms as T
@@ -127,7 +126,6 @@ def test_compose_runs_all():
 
 
 def test_determinism_same_rng_seed():
-    s = make_sample(w=40, h=40)
     pipe = T.Compose([T.RandomRotate((-10, 10)), T.RandomCrop((16, 16)),
                       T.RandomNoise(p=0.5)])
     a = pipe(make_sample(w=40, h=40), RNG(11))

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from cabinet_tpu.data.mosaic import MosaicSegDataset
-from cabinet_tpu.models.yolosem import YOLOSEM_VARIANTS, build_yolosem
+from cabinet_tpu.models.yolosem import build_yolosem
 
 
 def test_variant_lookup_from_reference_names():
