@@ -193,14 +193,28 @@ def train_and_evaluate(cfg) -> dict:
         _shard_fn = batch_sharding
 
     def put(batch):
-        imgs, lbs = batch
-        return (jax.device_put(imgs, _shard_fn(mesh, 4)),
-                jax.device_put(lbs, _shard_fn(mesh, 3)))
+        imgs, lbs = batch[0], batch[1]
+        out = (jax.device_put(imgs, _shard_fn(mesh, 4)),
+               jax.device_put(lbs, _shard_fn(mesh, 3)))
+        if len(batch) == 3:  # geometric='device' adds per-sample (h, w)
+            out += (jax.device_put(batch[2], batch_sharding(mesh, 2)),)
+        return out
 
     # XLA-fused photometric augmentation (runtime.device_augs=true): the
     # dataset delivered geometric-only [0,1] crops; HSV/contrast/gamma/
     # noise/cutout/mixup + normalization run jitted on device per batch.
+    # runtime.device_geometric=true moves the geometric recipe on-chip too
+    # (ops/geometric.py): the host ships raw u8 canvases + (h, w) and ONE
+    # fused program does warp+crop+photometric+normalize per batch.
     device_augs = getattr(ds_train, "photometric", "host") == "device"
+    device_geom = getattr(ds_train, "geometric", "host") == "device"
+    if device_geom and spatial_axis:
+        from cabinet_tpu.core.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "runtime.device_geometric shards the batch; it cannot combine "
+            "with runtime.spatial_axis (the warp gathers across the full "
+            "image height). Use the host pipeline for spatial partitioning.")
     if device_augs:
         from cabinet_tpu.ops.photometric import photometric_pipeline
 
@@ -211,6 +225,18 @@ def train_and_evaluate(cfg) -> dict:
         def apply_device_augs(images, labels, key):
             return photometric_pipeline(images, labels, key, aug_cfg,
                                         mean=mean, std=std)
+
+        if device_geom:
+            from cabinet_tpu.ops.geometric import geometric_pipeline
+
+            @jax.jit
+            def apply_device_geom_augs(canvas, label_canvas, hw, key):
+                kg, kp = jax.random.split(key)
+                imgs, lbs = geometric_pipeline(
+                    canvas, label_canvas, hw, kg, aug_cfg, (crop_h, crop_w),
+                    ignore_label=cfg.dataset.ignore_idx)
+                return photometric_pipeline(imgs, lbs, kp, aug_cfg,
+                                            mean=mean, std=std)
 
         aug_key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
@@ -240,10 +266,15 @@ def train_and_evaluate(cfg) -> dict:
             dl_train.set_epoch(epoch)
             losses = []
             for i, batch in enumerate(dl_train):
-                imgs, lbs = put(batch)
-                if device_augs:
+                staged = put(batch)
+                if device_geom:
                     step_key = jax.random.fold_in(aug_key, int(state.step))
-                    imgs, lbs = apply_device_augs(imgs, lbs, step_key)
+                    imgs, lbs = apply_device_geom_augs(*staged, step_key)
+                elif device_augs:
+                    step_key = jax.random.fold_in(aug_key, int(state.step))
+                    imgs, lbs = apply_device_augs(*staged, step_key)
+                else:
+                    imgs, lbs = staged
                 state, loss = train_step(state, imgs, lbs)
                 if (i + 1) % int(tc.log_iter) == 0:
                     losses.append(float(loss))

@@ -21,8 +21,9 @@ def get_class_pixel_counts(dataset: Any, num_classes: int,
     idxs = np.linspace(0, n - 1, take).astype(int) if take > 1 else np.zeros(1, int)
     counts = np.zeros(num_classes, dtype=np.int64)
     for i in idxs:
-        _, label = dataset[int(i)]
-        label = np.asarray(label)
+        # item is (image, label) or (canvas, label, hw) for geometric='device'
+        # — the ignore-filled canvas padding is excluded by the valid mask
+        label = np.asarray(dataset[int(i)][1])
         valid = label[label != ignore_label]
         counts += np.bincount(valid.astype(np.int64), minlength=num_classes)[:num_classes]
     return counts

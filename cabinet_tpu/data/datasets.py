@@ -78,12 +78,21 @@ class FolderSegDataset:
         augmentation: Optional[Dict[str, Any]] = None,
         seed: int = 15,
         photometric: str = "host",
+        geometric: str = "host",
     ) -> None:
         """photometric: "host" applies the full recipe here (PIL, exact
         reference semantics); "device" keeps only the geometric ops on the
         host and returns UN-normalized [0,1] images — the trainer then runs
         ops/photometric.photometric_pipeline (HSV/contrast/gamma/noise/
-        cutout/mixup + normalize) fused under jit on the TPU."""
+        cutout/mixup + normalize) fused under jit on the TPU.
+
+        geometric: "device" (train mode, requires photometric="device")
+        additionally moves flip/translate/rotate/scale/crop onto the TPU
+        (ops/geometric.geometric_pipeline): the host keeps only decode +
+        ResizeIfLarger + a memcpy into a fixed (2*max(cropsize))^2 canvas,
+        and __getitem__ returns (canvas u8, label canvas u8 ignore-filled,
+        (h, w) int32) — the measured cure for the host-PIL train wall
+        (NOTES r3 "Input-pipeline throughput")."""
         if mode not in ("train", "val", "test"):
             raise ValueError(f"Mode '{mode}' not supported. "
                              "Choose 'train', 'val', or 'test'.")
@@ -102,6 +111,15 @@ class FolderSegDataset:
         if photometric not in ("host", "device"):
             raise ValueError(f"photometric must be host|device, got {photometric}")
         self.photometric = photometric
+        if geometric not in ("host", "device"):
+            raise ValueError(f"geometric must be host|device, got {geometric}")
+        if geometric == "device" and mode == "train" and photometric != "device":
+            raise ValueError("geometric='device' requires photometric='device' "
+                             "(the device pipeline normalizes after cropping)")
+        if geometric == "device" and not (0 <= ignore_lb <= 255):
+            raise ValueError("geometric='device' ships labels as uint8; "
+                             f"ignore_lb={ignore_lb} does not fit")
+        self.geometric = geometric if mode == "train" else "host"
 
         img_dir = osp.join(rootpth, "images", mode)
         mask_dir = osp.join(rootpth, "masks", mode)
@@ -130,7 +148,14 @@ class FolderSegDataset:
                 f"No valid image-mask pairs found for mode='{mode}' in {rootpth}."
             )
 
-        self.trans_train = self._build_train_transforms() if mode == "train" else None
+        if self.geometric == "device":
+            # decode-only host path: cap resolution, defer all augs to device
+            self.canvas = 2 * max(self.cropsize)
+            self.trans_train = T.Compose(
+                [T.ResizeIfLarger(max_size=self.canvas, fast=True)])
+        else:
+            self.trans_train = (self._build_train_transforms()
+                                if mode == "train" else None)
         self.mixup_p = (float(self.aug["mixup"])
                         if mode == "train" and photometric == "host" else 0.0)
 
@@ -195,8 +220,31 @@ class FolderSegDataset:
             img, label = out["image"], out["label"]
         return self._normalize(img), self._decode_label(label)
 
-    def __getitem__(self, idx: int) -> Tuple[Array, Array]:
+    def _load_canvas(self, idx: int, rng: np.random.Generator
+                     ) -> Tuple[Array, Array, Array]:
+        """geometric='device' host path: decode + ResizeIfLarger + memcpy
+        into a fixed canvas. Returns (image (S,S,3) u8, label (S,S) u8
+        ignore-filled outside the valid region, (h, w) int32)."""
+        img_path, mask_path = self.samples[idx]
+        img = Image.open(img_path).convert("RGB")
+        label = Image.open(mask_path)
+        if label.mode != "L":
+            label = label.convert("L")
+        out = self.trans_train({"image": img, "label": label}, rng)
+        arr = np.asarray(out["image"], dtype=np.uint8)
+        lb = np.asarray(out["label"], dtype=np.uint8)
+        h, w = arr.shape[:2]
+        s = self.canvas
+        ci = np.zeros((s, s, 3), np.uint8)
+        cl = np.full((s, s), self.ignore_lb, np.uint8)
+        ci[:h, :w] = arr
+        cl[:h, :w] = lb
+        return ci, cl, np.array([h, w], np.int32)
+
+    def __getitem__(self, idx: int) -> Tuple[Array, ...]:
         rng = self._rng_for(idx)
+        if self.geometric == "device":
+            return self._load_canvas(idx, rng)
         img, label = self._load_one(idx, rng)
         if self.mode == "train" and self.mixup_p > 0 and rng.random() < self.mixup_p:
             other = int(rng.integers(0, len(self.samples)))
@@ -278,6 +326,7 @@ class CityScapes(FolderSegDataset):
         self.aug = {}
         self.mixup_p = 0.0
         self.photometric = "host"  # Cityscapes keeps the full host recipe
+        self.geometric = "host"
 
         classes = (load_labels_info(config_file) if config_file
                    else CITYSCAPES_CLASSES)
@@ -340,8 +389,12 @@ DATASET_REGISTRY: Dict[str, type] = {
 
 def _aerial_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
     d = cfg.dataset
-    device_augs = bool(cfg.select("runtime.device_augs", False))
+    device_geom = bool(cfg.select("runtime.device_geometric", False))
+    # device geometric implies device photometric: the device pipeline owns
+    # normalization once crops are produced on-chip
+    device_augs = device_geom or bool(cfg.select("runtime.device_augs", False))
     return {
+        "geometric": "device" if (device_geom and mode == "train") else "host",
         "ignore_lb": d.ignore_idx,
         "rootpth": d.dataset_path,
         "cropsize": list(d.cropsize),

@@ -46,7 +46,12 @@ def make_grain_loader(
             return len(dataset)
 
         def __getitem__(self, idx: int):
-            img, lbl = dataset[int(idx)]
+            item = dataset[int(idx)]
+            if len(item) == 3:  # geometric='device': (canvas, label, hw)
+                return {"image": np.asarray(item[0]),
+                        "label": np.asarray(item[1]),
+                        "hw": np.asarray(item[2])}
+            img, lbl = item
             return {"image": np.asarray(img, np.float32),
                     "label": np.asarray(lbl, np.int64)}
 
@@ -76,9 +81,12 @@ def make_grain_loader(
         worker_count=num_workers,
     )
 
-    def as_tuples() -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def as_tuples() -> Iterator[Tuple[np.ndarray, ...]]:
         for batch in loader:
-            yield batch["image"], batch["label"]
+            if "hw" in batch:
+                yield batch["image"], batch["label"], batch["hw"]
+            else:
+                yield batch["image"], batch["label"]
 
     return as_tuples()
 

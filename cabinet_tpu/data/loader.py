@@ -74,11 +74,11 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     @staticmethod
-    def _collate(samples: List[Tuple[np.ndarray, np.ndarray]]
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-        images = np.stack([s[0] for s in samples])
-        labels = np.stack([s[1] for s in samples])
-        return images, labels
+    def _collate(samples: List[Tuple[np.ndarray, ...]]
+                 ) -> Tuple[np.ndarray, ...]:
+        # Stacks every field, preserving dtypes: (image, label) for the host
+        # pipelines, (canvas u8, label u8, hw i32) for geometric='device'.
+        return tuple(np.stack(field) for field in zip(*samples))
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = self._indices()

@@ -39,10 +39,18 @@ class Compose:
 class ResizeIfLarger:
     """Cap the longer side at `max_size` (never upscale). Bounds the CPU cost
     of the geometric transforms below on huge aerial images
-    (reference transform.py:29-62)."""
+    (reference transform.py:29-62).
 
-    def __init__(self, max_size: int):
+    fast=True uses PIL's integer box-reduce when the shrink factor is >= 2
+    (5x faster than a fractional bilinear resize on 4K frames, measured
+    11 ms vs 59 ms) at the cost of landing slightly UNDER the cap (e.g.
+    3840 -> 1920 instead of 2048). Only the device-geometric pipeline uses
+    it: RandomScale's +-30% swamps the ~6% size difference, and the host
+    recipe keeps exact reference semantics."""
+
+    def __init__(self, max_size: int, fast: bool = False):
         self.max_size = int(max_size)
+        self.fast = bool(fast)
 
     def __call__(self, sample: Sample, rng: np.random.Generator) -> Sample:
         im, lb = sample["image"], sample["label"]
@@ -50,6 +58,11 @@ class ResizeIfLarger:
         longest = max(w, h)
         if longest <= self.max_size:
             return sample
+        if self.fast:
+            k = -(-longest // self.max_size)  # ceil: longest/k <= max_size
+            if k >= 2:
+                im = im.reduce(k)
+                return {"image": im, "label": lb.resize(im.size, Image.NEAREST)}
         s = self.max_size / longest
         new = (max(1, round(w * s)), max(1, round(h * s)))
         return {"image": im.resize(new, Image.BILINEAR),

@@ -162,6 +162,23 @@ def test_train_cli_with_device_augs(tiny_run):
     assert np.isfinite(results["final"]["mIoU"])
 
 
+def test_train_cli_with_device_geometric(tiny_run):
+    """runtime.device_geometric=true: decode-only host pipeline (u8 canvas +
+    (h, w)), the FULL aug recipe — warp/crop + photometric/mixup/normalize —
+    fused on device; training runs end to end and checkpoints appear."""
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides + [
+        "runtime.device_geometric=true",
+        f"training_config.experiments_path={exp.parent / 'exp_dev_geom'}",
+        "training_config.epochs=1",
+    ])
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (exp.parent / "exp_dev_geom" / "checkpoint_last").exists()
+
+
 def test_train_cli_with_grain_loader(tiny_run):
     """runtime.loader=grain: the trainer runs one epoch with the grain
     multiprocess input pipeline feeding REAL worker processes (the
