@@ -26,8 +26,14 @@ import orbax.checkpoint as ocp
 from cabinet_tpu.core.exceptions import ModelLoadError
 
 
-def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(np.asarray, tree)
+def _saveable(tree: Any) -> Any:
+    """jax.Arrays pass through UNGATHERED — orbax writes each shard from
+    its owning host/device, which is the multi-host/SPMD-correct pattern
+    (a tree_map(np.asarray, ...) gather would fail on non-addressable
+    shards and double peak host memory on big states). Python scalars and
+    lists become numpy so the pytree is serializable."""
+    return jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, jax.Array) else np.asarray(x), tree)
 
 
 class CheckpointManager:
@@ -53,7 +59,7 @@ class CheckpointManager:
             "ema_variables": state.ema.variables,
             "ema_updates": state.ema.updates,
         }
-        self._ckptr.save(path, _to_host(tree), force=True)
+        self._ckptr.save(path, _saveable(tree), force=True)
         self._ckptr.wait_until_finished()  # StandardCheckpointer is async
         meta = {
             "epoch": int(epoch),
@@ -101,7 +107,7 @@ class CheckpointManager:
     # ------------------------------------------------------------ variables
     def save_variables(self, name: str, variables: Any) -> Path:
         path = self.directory / name
-        self._ckptr.save(path, _to_host(variables), force=True)
+        self._ckptr.save(path, _saveable(variables), force=True)
         self._ckptr.wait_until_finished()
         return path
 

@@ -242,3 +242,73 @@ def test_tensor_parallel_train_step_matches_dp():
         losses[n_model] = float(loss)
         assert np.isfinite(losses[n_model])
     assert losses[1] == pytest.approx(losses[2], rel=1e-4)
+
+
+@pytest.mark.slow  # two mesh placements x jitted steps: ~3 min on 1 core
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a TrainState that is LIVE-sharded on the mesh
+    (DP-replicated and TP channel-sharded placements): the save writes
+    shards without a host gather (checkpoint.py:_saveable), the restore
+    comes back ON the template's shardings, params are bit-equal, and one
+    resumed train step matches the uninterrupted one exactly.
+
+    The SPMD lift of the reference checkpoint contract
+    (src/scripts/train.py:54-123)."""
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.train.checkpoint import CheckpointManager
+    from cabinet_tpu.train.optimizer import build_optimizer
+    from cabinet_tpu.train.trainer import create_train_state, make_train_step
+
+    cfgs = [[3, 1, 16, 0, 0, 1], [3, 4, 24, 0, 0, 2], [5, 3, 40, 1, 0, 2],
+            [5, 6, 96, 1, 1, 2]]
+    model = CABiNet(n_classes=5, mode="small", cfgs=cfgs)
+    B, H, W = 8, 32, 32
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, 3)), train=True)
+    tx = build_optimizer(variables["params"], lr0=1e-2, max_iter=100,
+                         warmup_steps=10, max_grad_norm=1.0)
+    state0 = jax.device_get(create_train_state(variables, tx))
+    step = make_train_step(model.apply, tx, n_min=B * H * W // 16)
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, (B, H, W))
+
+    for n_model in (1, 2):  # DP-replicated and (4,2) dp x tp placements
+        mesh = make_mesh(n_data=8 // n_model, n_model=n_model)
+        st = shard_model_parallel(state0, mesh, min_features=48)
+        im = jax.device_put(jnp.asarray(images), batch_sharding(mesh, 4))
+        lb = jax.device_put(jnp.asarray(labels), batch_sharding(mesh, 3))
+        st, _ = step(st, im, lb)  # advance so opt_state is non-trivial
+
+        ckpt = CheckpointManager(tmp_path / f"ck_tp{n_model}")
+        ckpt.save_full("checkpoint_last", st, epoch=0, best_miou=0.1,
+                       best_loss=1.0,
+                       stopper_state={"best_fitness": 0.1, "best_epoch": 0})
+
+        # fresh template with DIFFERENT values, same live shardings
+        template = shard_model_parallel(state0, mesh, min_features=48)
+        restored = ckpt.restore_full("checkpoint_last", template)
+        assert restored is not None and restored["epoch"] == 0
+        rst = restored["state"]
+
+        # restored leaves are ON DEVICE with the template's shardings
+        for got, want in zip(jax.tree_util.tree_leaves(rst.params),
+                             jax.tree_util.tree_leaves(template.params)):
+            assert isinstance(got, jax.Array)
+            assert got.sharding.is_equivalent_to(want.sharding, got.ndim), \
+                (got.sharding, want.sharding)
+        # bit-equal state
+        for got, want in zip(jax.tree_util.tree_leaves(rst.params),
+                             jax.tree_util.tree_leaves(st.params)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert int(rst.step) == int(st.step)
+
+        # resume-equivalence: one more step from the restore == one more
+        # step from the uninterrupted state, bit-exact on CPU
+        im2 = jax.device_put(jnp.asarray(images), batch_sharding(mesh, 4))
+        lb2 = jax.device_put(jnp.asarray(labels), batch_sharding(mesh, 3))
+        _, loss_resumed = step(rst, im2, lb2)
+        im3 = jax.device_put(jnp.asarray(images), batch_sharding(mesh, 4))
+        lb3 = jax.device_put(jnp.asarray(labels), batch_sharding(mesh, 3))
+        _, loss_straight = step(st, im3, lb3)
+        assert float(loss_resumed) == float(loss_straight)
