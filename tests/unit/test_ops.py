@@ -197,3 +197,19 @@ class TestResizeBilinear:
         aa = np.asarray(jax.image.resize(x, (1, 32, 32, 4),
                                          method="bilinear"))  # antialias=True
         assert float(np.abs(out - aa).max()) > 0.2
+
+
+def test_hsv_to_rgb_matches_colorsys():
+    """The branchless sector formula (the jnp.choose select was a hidden
+    XLA gather, 53.9 ms/img on TPU) must match colorsys ground truth."""
+    import colorsys
+
+    import numpy as np
+
+    from cabinet_tpu.ops import photometric as P
+
+    rng = np.random.default_rng(3)
+    hsv = rng.random((64, 3)).astype(np.float32)
+    got = np.asarray(P.hsv_to_rgb(hsv.reshape(1, 8, 8, 3))).reshape(-1, 3)
+    want = np.array([colorsys.hsv_to_rgb(*x) for x in hsv], np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-6)
