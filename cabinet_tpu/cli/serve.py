@@ -8,14 +8,22 @@ plain HTTP with zero dependencies beyond the standard library.
 
 Endpoints:
   GET  /healthz            -> JSON {"status": "ok", ...artifact metadata}
+  GET  /metrics            -> JSON serving stats (req/s inputs, p50/p99
+                              latency ms, mean batch size, queue depth)
   POST /segment            -> body: PNG/JPEG bytes
        ?format=mask_png    -> grayscale class-ID PNG (default)
        ?format=color_png   -> palette-colorized PNG (artifact palette or
                               dataset palette)
        response headers: X-Classes, X-Infer-Millis
 
-Device calls are serialized with a lock (one accelerator, one program);
-the HTTP layer is threaded so health checks never queue behind inference.
+Concurrent requests are DYNAMICALLY MICRO-BATCHED: one worker thread owns
+the device, coalescing whatever requests arrive within --batch-deadline-ms
+(up to --max-batch) into one padded power-of-two-regime forward — the same
+batch-regime kernel composition cli.infer uses, so a loaded server rides
+the chip's batched throughput (1130 img/s at batch 128 on v5e) instead of
+serializing batch-1 programs. Preprocessing (decode/resize) runs on the
+HTTP threads and overlaps freely; a bounded queue gives backpressure (503)
+instead of unbounded memory growth.
 
 Usage:
     python -m cabinet_tpu.cli.serve --artifact artifacts/uavid_large
@@ -25,12 +33,14 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -40,13 +50,148 @@ from PIL import Image
 MAX_BODY_BYTES = 128 << 20
 
 
+class ServerBusy(RuntimeError):
+    """Bounded request queue stayed full past the submit timeout."""
+
+
+class _Item:
+    __slots__ = ("x", "event", "result", "error")
+
+    def __init__(self, x):
+        self.x = x
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class _MicroBatcher:
+    """Dynamic micro-batching: one worker thread owns the accelerator.
+
+    submit() enqueues a preprocessed input and blocks until its result is
+    ready. The worker coalesces requests that arrive within `deadline_ms`
+    of the first one (up to `max_batch`), pads the group to the next
+    power-of-two regime (bounds XLA specializations to log2(max_batch)+1
+    programs), and runs ONE forward. A solo request under no load pays at
+    most the deadline in extra latency; under load the deadline never
+    waits — the queue is already non-empty when a batch completes.
+    """
+
+    def __init__(self, infer_batch: Callable[[np.ndarray], np.ndarray],
+                 max_batch: int = 8, deadline_ms: float = 3.0,
+                 queue_depth: int = 64, submit_timeout_s: float = 30.0):
+        self.infer_batch = infer_batch
+        self.max_batch = max(1, int(max_batch))
+        self.deadline_s = max(0.0, float(deadline_ms)) / 1e3
+        self.submit_timeout_s = float(submit_timeout_s)
+        self._q: "queue.Queue[Optional[_Item]]" = queue.Queue(
+            maxsize=max(1, int(queue_depth)))
+        self._stats_lock = threading.Lock()
+        self._lat_ms: collections.deque = collections.deque(maxlen=4096)
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_coalesced_inputs = 0
+        self._started = time.perf_counter()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serve-microbatch")
+        self._thread.start()
+
+    def submit(self, x: np.ndarray) -> np.ndarray:
+        item = _Item(x)
+        t0 = time.perf_counter()
+        try:
+            self._q.put(item, timeout=self.submit_timeout_s)
+        except queue.Full:
+            raise ServerBusy(
+                f"request queue full ({self._q.maxsize}) for "
+                f"{self.submit_timeout_s:.0f}s") from None
+        item.event.wait()
+        lat_ms = (time.perf_counter() - t0) * 1e3
+        with self._stats_lock:
+            self._lat_ms.append(lat_ms)
+            self.n_requests += 1
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def reset_stats(self) -> None:
+        """Zero counters/latencies (bench warmup exclusion)."""
+        with self._stats_lock:
+            self._lat_ms.clear()
+            self.n_requests = self.n_batches = self.n_coalesced_inputs = 0
+            self._started = time.perf_counter()
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self._lat_ms)
+            n_req, n_b = self.n_requests, self.n_batches
+            n_co = self.n_coalesced_inputs
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) \
+                if lat else None
+
+        elapsed = time.perf_counter() - self._started
+        return {
+            "requests": n_req,
+            "batches": n_b,
+            "mean_batch_size": round(n_co / n_b, 3) if n_b else None,
+            "max_batch": self.max_batch,
+            "deadline_ms": self.deadline_s * 1e3,
+            "queue_depth": self._q.qsize(),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+            "requests_per_s": round(n_req / elapsed, 2) if elapsed else None,
+        }
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            items = [first]
+            deadline = time.perf_counter() + self.deadline_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                try:
+                    nxt = (self._q.get_nowait() if remaining <= 0
+                           else self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+                if nxt is None:  # close() raced a live batch: finish it
+                    self._q.put(None)
+                    break
+                items.append(nxt)
+            n = len(items)
+            regime = min(1 << (n - 1).bit_length(), self.max_batch)
+            xs = np.stack([it.x for it in items])
+            if regime > n:
+                pad = ((0, regime - n),) + ((0, 0),) * (xs.ndim - 1)
+                xs = np.pad(xs, pad)
+            try:
+                preds = self.infer_batch(xs)
+                for i, it in enumerate(items):
+                    it.result = np.asarray(preds[i]).astype(np.uint8)
+            except BaseException as e:  # propagate to every waiter
+                for it in items:
+                    it.error = e
+            with self._stats_lock:
+                self.n_batches += 1
+                self.n_coalesced_inputs += n
+            for it in items:
+                it.event.set()
+
+
 class _Engine:
-    """predict(rgb uint8 HxWx3) -> (mask HxW uint8, palette or None)."""
+    """predict(rgb uint8 HxWx3) -> mask (imgsz, imgsz) uint8."""
 
     def __init__(self, artifact: Optional[str], checkpoint: Optional[str],
                  dataset: Optional[str], mode: str, imgsz: int,
-                 dtype: str):
-        self._lock = threading.Lock()
+                 dtype: str, max_batch: int = 8, deadline_ms: float = 3.0,
+                 queue_depth: int = 64):
         self.palette = None
         if artifact:
             import jax.numpy as jnp
@@ -66,47 +211,62 @@ class _Engine:
             self.meta = meta
             self.imgsz = int(meta["imgsz"])
             batch = str(meta.get("batch", "1"))
-            if batch.isdigit() and int(batch) != 1:
-                # fixed-batch artifacts other than 1 would reject every
-                # single-image request — fail at startup, not per request
-                raise SystemExit(
-                    f"artifact was exported with fixed batch {batch}; serve "
-                    "needs batch 1 (or a symbolic batch, e.g. --batch b)")
+            if batch.isdigit():
+                if int(batch) != 1:
+                    # fixed-batch artifacts other than 1 would reject every
+                    # single-image request — fail at startup, not per request
+                    raise SystemExit(
+                        f"artifact was exported with fixed batch {batch}; "
+                        "serve needs batch 1 (solo) or a symbolic batch "
+                        "(--batch b at export) for micro-batching")
+                # a fixed batch-1 program cannot coalesce
+                max_batch = 1
             if meta.get("palette"):
                 self.palette = np.asarray(meta["palette"], np.uint8)
 
-            def predict(rgb: np.ndarray) -> np.ndarray:
-                # pure-CPU preprocessing stays OUTSIDE the accelerator lock
-                # so concurrent requests' decode/resize work overlaps
+            def preprocess(rgb: np.ndarray) -> np.ndarray:
                 im = Image.fromarray(rgb).resize((self.imgsz, self.imgsz),
                                                  Image.BILINEAR)
-                x = jnp.asarray(np.asarray(im, np.uint8)[None])
-                with self._lock:  # one accelerator; serialize device calls
-                    return np.asarray(serve(x))[0].astype(np.uint8)
+                return np.asarray(im, np.uint8)
 
-            self._predict = predict
+            def infer_batch(xs: np.ndarray) -> np.ndarray:
+                return np.asarray(serve(jnp.asarray(xs)))
+
         else:
+            import jax.numpy as jnp
+
             from cabinet_tpu.cli.infer import Segmenter
             from cabinet_tpu.data.palettes import PALETTES, trainid_palette
 
+            # batch=max_batch picks the batched kernel composition (fused
+            # early stage engages at >= 8); jit re-specializes per regime
             seg = Segmenter(checkpoint, dataset, mode=mode, imgsz=imgsz,
-                            dtype_name=dtype)
+                            dtype_name=dtype, batch=max_batch)
             self.meta = {"dataset": dataset, "imgsz": imgsz,
                          "n_classes": seg.n_classes}
             self.imgsz = imgsz
             if dataset in PALETTES:
                 self.palette = trainid_palette(PALETTES[dataset])
 
-            def predict(rgb: np.ndarray) -> np.ndarray:
-                # Segmenter.predict mixes host prep and the device call;
-                # serialize it whole (one accelerator, one program)
-                with self._lock:
-                    return seg.predict(rgb).astype(np.uint8)
+            def preprocess(rgb: np.ndarray) -> np.ndarray:
+                return seg._preprocess(rgb)
 
-            self._predict = predict
+            def infer_batch(xs: np.ndarray) -> np.ndarray:
+                return np.asarray(seg._forward(seg.variables,
+                                               jnp.asarray(xs)))
+
+        self._preprocess = preprocess
+        self.batcher = _MicroBatcher(infer_batch, max_batch=max_batch,
+                                     deadline_ms=deadline_ms,
+                                     queue_depth=queue_depth)
 
     def predict(self, rgb: np.ndarray) -> np.ndarray:
-        return self._predict(rgb)
+        # preprocessing runs on the HTTP thread — concurrent requests'
+        # decode/resize overlaps; only the forward is single-flight
+        return self.batcher.submit(self._preprocess(rgb))
+
+    def stats(self) -> dict:
+        return self.batcher.stats()
 
 
 def make_handler(engine: _Engine):
@@ -123,10 +283,13 @@ def make_handler(engine: _Engine):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/healthz":
+            path = self.path.split("?")[0]
+            if path == "/healthz":
                 self._json(200, {"status": "ok", **{
                     k: v for k, v in engine.meta.items()
                     if isinstance(v, (str, int, float, type(None)))}})
+            elif path == "/metrics":
+                self._json(200, engine.stats())
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -161,7 +324,10 @@ def make_handler(engine: _Engine):
             except Exception as e:
                 return self._json(400, {"error": f"bad image: {e}"})
             t0 = time.perf_counter()
-            mask = engine.predict(rgb)
+            try:
+                mask = engine.predict(rgb)
+            except ServerBusy as e:
+                return self._json(503, {"error": str(e)})
             ms = (time.perf_counter() - t0) * 1e3
             mask_native = np.asarray(
                 Image.fromarray(mask).resize((rgb.shape[1], rgb.shape[0]),
@@ -203,12 +369,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    choices=("bfloat16", "float32"))
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8651)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batching ceiling (1 disables coalescing)")
+    p.add_argument("--batch-deadline-ms", type=float, default=3.0,
+                   help="how long the first queued request waits for "
+                        "company before the forward launches")
+    p.add_argument("--queue-depth", type=int, default=64,
+                   help="bounded request queue (full -> 503 backpressure)")
     args = p.parse_args(argv)
     if args.checkpoint and not args.dataset:
         raise SystemExit("--checkpoint requires --dataset")
 
     engine = _Engine(args.artifact, args.checkpoint, args.dataset,
-                     args.mode, args.imgsz, args.dtype)
+                     args.mode, args.imgsz, args.dtype,
+                     max_batch=args.max_batch,
+                     deadline_ms=args.batch_deadline_ms,
+                     queue_depth=args.queue_depth)
     server = make_server(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(meta: {engine.meta.get('dataset')}, {engine.imgsz}^2)",

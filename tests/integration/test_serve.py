@@ -124,3 +124,105 @@ def test_oversized_body_rejected_413(server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(req, timeout=30)
     assert exc_info.value.code == 413
+
+
+# ---------------------------------------------------------------------------
+# Dynamic micro-batching
+# ---------------------------------------------------------------------------
+
+def test_microbatcher_coalesces_and_routes():
+    """Direct _MicroBatcher contract: concurrent submits coalesce into one
+    padded power-of-two-regime forward; each result routes to its own
+    waiter;
+    errors propagate to every member of the failed batch."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cabinet_tpu.cli.serve import _MicroBatcher
+
+    seen_batches = []
+
+    def infer(xs):
+        seen_batches.append(xs.shape[0])
+        _time.sleep(0.02)  # let the queue fill while a batch runs
+        return xs[:, 0, 0] + 1  # distinct per input -> routing check
+
+    mb = _MicroBatcher(infer, max_batch=4, deadline_ms=50, queue_depth=16)
+    try:
+        with ThreadPoolExecutor(8) as pool:
+            futs = [pool.submit(mb.submit,
+                                np.full((2, 2), i, np.uint8)) for i in range(8)]
+            results = [f.result(timeout=30) for f in futs]
+        for i, r in enumerate(results):
+            assert int(r) == i + 1  # each waiter got ITS result
+        st = mb.stats()
+        assert st["requests"] == 8
+        assert st["batches"] < 8, "no coalescing happened"
+        assert st["mean_batch_size"] > 1
+        assert max(seen_batches) <= 4  # regimes capped at max_batch
+        assert all(b in (1, 2, 4) for b in seen_batches)  # pow2 padding
+
+        def boom(xs):
+            raise RuntimeError("kaboom")
+
+        mb2 = _MicroBatcher(boom, max_batch=2, deadline_ms=5)
+        with pytest.raises(RuntimeError, match="kaboom"):
+            mb2.submit(np.zeros((2, 2), np.uint8))
+        mb2.close()
+    finally:
+        mb.close()
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    """Server over a SYMBOLIC-batch artifact with micro-batching enabled."""
+    model = CABiNet(n_classes=4, mode="small", cfgs=CFGS, dtype=jnp.float32)
+    x = jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x,
+                                           train=False))()
+    exported = export_serving(model, variables, mean=(0.5,) * 3,
+                              std=(0.25,) * 3, imgsz=IMGSZ, batch="b")
+    art = save_artifact(exported, tmp_path_factory.mktemp("art_b"), {
+        "dataset": "test", "imgsz": IMGSZ, "n_classes": 4, "batch": "b",
+    })
+
+    from cabinet_tpu.cli.serve import _Engine, make_server
+
+    engine = _Engine(str(art), None, None, "small", IMGSZ, "float32",
+                     max_batch=4, deadline_ms=50.0, queue_depth=32)
+    srv = make_server(engine, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", engine
+    srv.shutdown()
+    engine.batcher.close()
+
+
+def test_concurrent_clients_microbatch(batched_server):
+    """N concurrent clients all get correct responses, the server coalesces
+    them into fewer device batches, and /metrics reports the batching."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    url, _ = batched_server
+    rng = np.random.default_rng(7)
+    rgb = (rng.random((48, 72, 3)) * 255).astype(np.uint8)
+
+    # single-flight reference answer first (its own batch)
+    with _post_png(f"{url}/segment", rgb) as r:
+        ref = np.asarray(Image.open(io.BytesIO(r.read())))
+
+    def one(_):
+        with _post_png(f"{url}/segment", rgb) as r:
+            return np.asarray(Image.open(io.BytesIO(r.read())))
+
+    with ThreadPoolExecutor(8) as pool:
+        masks = list(pool.map(one, range(12)))
+    for m in masks:
+        np.testing.assert_array_equal(m, ref)  # batching never changes math
+
+    with urllib.request.urlopen(f"{url}/metrics", timeout=30) as r:
+        st = json.loads(r.read())
+    assert st["requests"] >= 13
+    assert st["batches"] < st["requests"], "no coalescing under load"
+    assert st["mean_batch_size"] > 1
+    assert st["latency_ms_p50"] is not None and st["latency_ms_p99"] is not None
