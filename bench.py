@@ -9,7 +9,8 @@ Extra modes (one JSON line each, for NOTES/regression tracking):
   python bench.py train-remat [batch ...]
   python bench.py latency             — batch-1 serving latency (ms/frame,
                                         fused-tail path cli.infer ships)
-  python bench.py serve [conc] [maxb] — live cli.serve HTTP req/s + p50/p99
+  python bench.py serve [conc] [maxb] [imgsz]
+                                      — live cli.serve HTTP req/s + p50/p99
                                         with dynamic micro-batching, vs the
                                         same server single-flight
   python bench.py aug [batch] [crop]  — on-device full-recipe augmentation
@@ -295,18 +296,23 @@ def bench_aug(batch: int = 16, crop: int = 1024) -> dict:
 
 
 def bench_serve(concurrency: int = 12, n_requests: int = 72,
-                max_batch: int = 8, deadline_ms: float = 4.0) -> dict:
+                max_batch: int = 8, deadline_ms: float = 4.0,
+                imgsz: int = H) -> dict:
     """Server-level throughput: live cli.serve HTTP server over a
-    symbolic-batch jax.export artifact (CABiNet-Large @ 1024², bf16),
-    hammered by concurrent clients. Reports req/s + p50/p99 with dynamic
+    symbolic-batch jax.export artifact (CABiNet-Large, bf16), hammered by
+    concurrent clients. Reports req/s + p50/p99 with dynamic
     micro-batching, and the same-run single-flight (max_batch=1) req/s as
     the baseline the batching is measured against.
 
     Clients post small (256²) PNGs so the host codec doesn't mask the
-    device path; the server resizes to 1024² in-graph. Unlike the chained
-    kernel benches, every response REQUIRES the mask fetched D2H, so this
-    number includes real tunnel D2H on remote runtimes — it is the
-    end-to-end serving figure, not the kernel figure."""
+    device path; the server resizes to imgsz² in-graph. Unlike the chained
+    kernel benches, every response REQUIRES the input shipped H2D and the
+    mask fetched D2H, so on the axon tunnel (~25 MB/s, NOTES r4) a 1024²
+    request is ~180 ms of transfer vs ~7 ms/img of batched compute —
+    transfer-bound, and batching cannot beat single-flight there by
+    construction. Run with a smaller imgsz (e.g. 384) to see the batching
+    win on dispatch+compute; on a PCIe host the 1024² number is the
+    meaningful one."""
     import io
     import tempfile
     import threading
@@ -320,7 +326,8 @@ def bench_serve(concurrency: int = 12, n_requests: int = 72,
 
     model, variables = _build()
     exported = export_serving(model, variables, mean=(0.48, 0.5, 0.46),
-                              std=(0.22, 0.21, 0.23), imgsz=H, batch="b")
+                              std=(0.22, 0.21, 0.23), imgsz=imgsz,
+                              batch="b")
 
     rgb = (np.random.default_rng(0).random((256, 256, 3)) * 255
            ).astype(np.uint8)
@@ -344,7 +351,7 @@ def bench_serve(concurrency: int = 12, n_requests: int = 72,
         x0 = engine._preprocess(rgb)
         b = 1
         while True:
-            engine.batcher.infer_batch(np.stack([x0] * b))
+            engine.batcher.infer_batch(np.stack([x0] * b), b)
             if b >= engine.batcher.max_batch:
                 break
             b = min(2 * b, engine.batcher.max_batch)
@@ -362,17 +369,18 @@ def bench_serve(concurrency: int = 12, n_requests: int = 72,
 
     with tempfile.TemporaryDirectory() as td:
         art = save_artifact(exported, td, {
-            "dataset": "uavid", "imgsz": H, "n_classes": 8, "batch": "b"})
-        batched = run_load(_Engine(str(art), None, None, "large", H,
+            "dataset": "uavid", "imgsz": imgsz, "n_classes": 8, "batch": "b"})
+        batched = run_load(_Engine(str(art), None, None, "large", imgsz,
                                    "bfloat16", max_batch=max_batch,
                                    deadline_ms=deadline_ms,
                                    queue_depth=256))
-        single = run_load(_Engine(str(art), None, None, "large", H,
+        single = run_load(_Engine(str(art), None, None, "large", imgsz,
                                   "bfloat16", max_batch=1,
                                   deadline_ms=0.0, queue_depth=256))
     return {
-        "metric": (f"cli.serve req/s (Large 1024² artifact, {concurrency} "
-                   f"concurrent clients, micro-batch<= {max_batch})"),
+        "metric": (f"cli.serve req/s (Large {imgsz}² artifact, "
+                   f"{concurrency} concurrent clients, "
+                   f"micro-batch<= {max_batch})"),
         "value": round(batched["req_s"], 2),
         "unit": "req/s",
         # baseline = the same server single-flight: the ratio IS the
@@ -627,6 +635,8 @@ def main() -> None:
             kw["concurrency"] = int(args[1])
         if len(args) > 2:
             kw["max_batch"] = int(args[2])
+        if len(args) > 3:
+            kw["imgsz"] = int(args[3])
         out = bench_serve(**kw)
     elif mode == "yolo":
         out = bench_yolo(train_mode=False,

@@ -69,14 +69,18 @@ class _MicroBatcher:
 
     submit() enqueues a preprocessed input and blocks until its result is
     ready. The worker coalesces requests that arrive within `deadline_ms`
-    of the first one (up to `max_batch`), pads the group to the next
+    of the first one (up to `max_batch`) and runs ONE forward at the next
     power-of-two regime (bounds XLA specializations to log2(max_batch)+1
-    programs), and runs ONE forward. A solo request under no load pays at
-    most the deadline in extra latency; under load the deadline never
-    waits — the queue is already non-empty when a batch completes.
+    programs). infer_batch(xs, regime) receives only the real rows and is
+    responsible for padding to the regime ON DEVICE and returning exactly
+    xs.shape[0] results — padding on the host would double H2D/D2H bytes.
+    A solo request under no load pays at most the deadline in extra
+    latency; under load the deadline never waits — the queue is already
+    non-empty when a batch completes.
     """
 
-    def __init__(self, infer_batch: Callable[[np.ndarray], np.ndarray],
+    def __init__(self,
+                 infer_batch: Callable[[np.ndarray, int], np.ndarray],
                  max_batch: int = 8, deadline_ms: float = 3.0,
                  queue_depth: int = 64, submit_timeout_s: float = 30.0):
         self.infer_batch = infer_batch
@@ -167,12 +171,12 @@ class _MicroBatcher:
                 items.append(nxt)
             n = len(items)
             regime = min(1 << (n - 1).bit_length(), self.max_batch)
+            # H2D is per-byte: ship only the n REAL rows and let infer_batch
+            # pad to the regime on DEVICE (and fetch only n rows back) —
+            # host-side np.pad would transfer and fetch up to 2x dead rows
             xs = np.stack([it.x for it in items])
-            if regime > n:
-                pad = ((0, regime - n),) + ((0, 0),) * (xs.ndim - 1)
-                xs = np.pad(xs, pad)
             try:
-                preds = self.infer_batch(xs)
+                preds = self.infer_batch(xs, regime)
                 for i, it in enumerate(items):
                     it.result = np.asarray(preds[i]).astype(np.uint8)
             except BaseException as e:  # propagate to every waiter
@@ -229,8 +233,14 @@ class _Engine:
                                                  Image.BILINEAR)
                 return np.asarray(im, np.uint8)
 
-            def infer_batch(xs: np.ndarray) -> np.ndarray:
-                return np.asarray(serve(jnp.asarray(xs)))
+            def infer_batch(xs: np.ndarray, regime: int) -> np.ndarray:
+                x = jnp.asarray(xs)
+                if regime > xs.shape[0]:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((regime - xs.shape[0],) + xs.shape[1:],
+                                      x.dtype)])
+                # slice BEFORE the fetch: padded rows never cross D2H
+                return np.asarray(serve(x)[:xs.shape[0]])
 
         else:
             import jax.numpy as jnp
@@ -251,9 +261,14 @@ class _Engine:
             def preprocess(rgb: np.ndarray) -> np.ndarray:
                 return seg._preprocess(rgb)
 
-            def infer_batch(xs: np.ndarray) -> np.ndarray:
+            def infer_batch(xs: np.ndarray, regime: int) -> np.ndarray:
+                x = jnp.asarray(xs)
+                if regime > xs.shape[0]:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((regime - xs.shape[0],) + xs.shape[1:],
+                                      x.dtype)])
                 return np.asarray(seg._forward(seg.variables,
-                                               jnp.asarray(xs)))
+                                               x)[:xs.shape[0]])
 
         self._preprocess = preprocess
         self.batcher = _MicroBatcher(infer_batch, max_batch=max_batch,

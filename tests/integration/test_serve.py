@@ -142,8 +142,8 @@ def test_microbatcher_coalesces_and_routes():
 
     seen_batches = []
 
-    def infer(xs):
-        seen_batches.append(xs.shape[0])
+    def infer(xs, regime):
+        seen_batches.append((xs.shape[0], regime))
         _time.sleep(0.02)  # let the queue fill while a batch runs
         return xs[:, 0, 0] + 1  # distinct per input -> routing check
 
@@ -159,10 +159,12 @@ def test_microbatcher_coalesces_and_routes():
         assert st["requests"] == 8
         assert st["batches"] < 8, "no coalescing happened"
         assert st["mean_batch_size"] > 1
-        assert max(seen_batches) <= 4  # regimes capped at max_batch
-        assert all(b in (1, 2, 4) for b in seen_batches)  # pow2 padding
+        for n, regime in seen_batches:
+            assert regime in (1, 2, 4)  # pow2 regimes, capped at max_batch
+            # only REAL rows cross the host->device boundary
+            assert n <= regime
 
-        def boom(xs):
+        def boom(xs, regime):
             raise RuntimeError("kaboom")
 
         mb2 = _MicroBatcher(boom, max_batch=2, deadline_ms=5)
