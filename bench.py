@@ -243,12 +243,14 @@ def bench_latency() -> dict:
     }
 
 
-def bench_aug(batch: int = 16, crop: int = 1024) -> dict:
+def bench_aug(batch: int = 16, crop: int = 1024, shared: bool = False) -> dict:
     """On-device augmentation cost (ops/geometric + ops/photometric fused):
     ms/img for the full recipe — warp/crop from a (2*crop)² u8 canvas +
     HSV/contrast/gamma/noise/cutout/mixup + normalize. Must be small vs the
     ~8-9 ms/img train step for the device-aug pipeline win to be real.
-    Dependent-chain timing (same scheme as the other modes)."""
+    Dependent-chain timing (same scheme as the other modes).
+    shared=True runs the batch-shared-rotation warp
+    (runtime.device_geometric=shared)."""
     from functools import partial
 
     import jax
@@ -273,7 +275,7 @@ def bench_aug(batch: int = 16, crop: int = 1024) -> dict:
             key = jax.random.fold_in(jax.random.PRNGKey(0), i)
             kg, kp = jax.random.split(key)
             im, lb = geometric_pipeline(canvas, labels, hw, kg, aug,
-                                        (crop, crop))
+                                        (crop, crop), shared_linear=shared)
             im, lb = photometric_pipeline(im, lb, kp, aug,
                                           mean=(0.48, 0.5, 0.46),
                                           std=(0.22, 0.21, 0.23))
@@ -287,8 +289,9 @@ def bench_aug(batch: int = 16, crop: int = 1024) -> dict:
            - _min_time(lambda: float(chain(canvas, labels, hw, 1)))
            ) / (K - 1) / batch
     return {
-        "metric": (f"on-device full-recipe augmentation (geometric warp + "
-                   f"photometric), batch {batch}, {S}²->crop {crop}²"),
+        "metric": (f"on-device full-recipe augmentation (geometric warp"
+                   + (" [batch-shared rotation]" if shared else "")
+                   + f" + photometric), batch {batch}, {S}²->crop {crop}²"),
         "value": round(per * 1000, 3),
         "unit": "ms/img",
         "vs_baseline": round(per * 1000 / 826.0, 5),  # vs host-PIL ms/img
@@ -629,6 +632,8 @@ def main() -> None:
         out = bench_latency()
     elif mode == "aug":
         out = bench_aug(*(int(a) for a in args[1:3]))
+    elif mode == "aug-shared":
+        out = bench_aug(*(int(a) for a in args[1:3]), shared=True)
     elif mode == "serve":
         kw = {}
         if len(args) > 1:

@@ -229,12 +229,19 @@ def train_and_evaluate(cfg) -> dict:
         if device_geom:
             from cabinet_tpu.ops.geometric import geometric_pipeline
 
+            # runtime.device_geometric=shared selects the batch-shared-
+            # rotation warp (~6x cheaper gather; ops/geometric.py
+            # apply_geometric_shared docstring lists the divergences)
+            geo_shared = (str(cfg.select("runtime.device_geometric",
+                                         False)).lower() == "shared")
+
             @jax.jit
             def apply_device_geom_augs(canvas, label_canvas, hw, key):
                 kg, kp = jax.random.split(key)
                 imgs, lbs = geometric_pipeline(
                     canvas, label_canvas, hw, kg, aug_cfg, (crop_h, crop_w),
-                    ignore_label=cfg.dataset.ignore_idx)
+                    ignore_label=cfg.dataset.ignore_idx,
+                    shared_linear=geo_shared)
                 return photometric_pipeline(imgs, lbs, kp, aug_cfg,
                                             mean=mean, std=std)
 

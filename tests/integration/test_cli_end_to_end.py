@@ -179,6 +179,23 @@ def test_train_cli_with_device_geometric(tiny_run):
     assert (exp.parent / "exp_dev_geom" / "checkpoint_last").exists()
 
 
+def test_train_cli_with_device_geometric_shared(tiny_run):
+    """runtime.device_geometric=shared: the batch-shared-rotation warp
+    (~3x cheaper on-chip than the exact per-sample warp, NOTES r4) trains
+    end to end through the same decode-only host pipeline."""
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides + [
+        "runtime.device_geometric=shared",
+        f"training_config.experiments_path={exp.parent / 'exp_dev_geo_sh'}",
+        "training_config.epochs=1",
+    ])
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (exp.parent / "exp_dev_geo_sh" / "checkpoint_last").exists()
+
+
 def test_train_cli_with_grain_loader(tiny_run):
     """runtime.loader=grain: the trainer runs one epoch with the grain
     multiprocess input pipeline feeding REAL worker processes (the
