@@ -206,6 +206,72 @@ def bench_train(batches, remat: bool) -> dict:
     }
 
 
+def bench_train_aug(batch: int = 16, shared: bool = True) -> dict:
+    """END-TO-END device train rate with the full aug recipe fused on-chip:
+    per step, the aug program (geometric warp + photometric from raw u8
+    canvases — what `runtime.device_geometric` ships) feeds the jitted
+    train step. This is the number the device-aug feed-rate claims rest on
+    (NOTES r4 gather economics): chip time = aug + step, so the aug tax is
+    visible here, not hidden behind a loader."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from cabinet_tpu.ops.geometric import geometric_pipeline
+    from cabinet_tpu.ops.photometric import photometric_pipeline
+    from cabinet_tpu.train.optimizer import build_optimizer
+    from cabinet_tpu.train.trainer import create_train_state, make_train_step
+
+    model, variables = _build()
+    tx = build_optimizer(variables["params"], lr0=5e-3, max_iter=1000,
+                         warmup_steps=10, max_grad_norm=1.0)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, n_min=batch * H * W // 16,
+                           compute_dtype=jnp.bfloat16)
+    aug = {"degrees": 10, "translate": 0.05, "scale": 0.3, "fliplr": 0.5,
+           "flipud": 0.2, "hsv_s": 0.4, "hsv_v": 0.3, "mixup": 0.1}
+    S = 2 * H
+    rng = np.random.default_rng(0)
+    canvas = jnp.asarray(rng.integers(0, 256, (batch, S, S, 3)
+                                      ).astype(np.uint8))
+    labels = jnp.asarray(rng.integers(0, 8, (batch, S, S)).astype(np.uint8))
+    hw = jnp.tile(jnp.asarray([[S, S - 64]], jnp.int32), (batch, 1))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def aug_and_step(state, canvas, labels, hw, key):
+        kg, kp = jax.random.split(key)
+        im, lb = geometric_pipeline(canvas, labels, hw, kg, aug, (H, W),
+                                    shared_linear=shared)
+        im, lb = photometric_pipeline(im, lb, kp, aug,
+                                      mean=(0.48, 0.5, 0.46),
+                                      std=(0.22, 0.21, 0.23))
+        return step(state, im.astype(jnp.bfloat16), lb)
+
+    def run(n, st):
+        for i in range(n):
+            st, loss = aug_and_step(st, canvas, labels, hw,
+                                    jax.random.fold_in(jax.random.PRNGKey(0),
+                                                       i))
+        return float(loss)
+
+    import jax.tree_util as jtu
+    state0 = jtu.tree_map(jnp.copy, state)
+    run(1, jtu.tree_map(jnp.copy, state0))  # compile
+    t_k = _min_time(lambda: run(K, jtu.tree_map(jnp.copy, state0)))
+    t_1 = _min_time(lambda: run(1, jtu.tree_map(jnp.copy, state0)))
+    ips = batch / ((t_k - t_1) / (K - 1))
+    mode = "shared" if shared else "exact"
+    return {
+        "metric": (f"CABiNet-Large 1024x1024 bf16 train step INCLUDING the "
+                   f"fused on-device aug recipe ({mode} warp, batch "
+                   f"{batch}, raw u8 2048² canvases in)"),
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / BASELINE_IMG_S, 4),
+    }
+
+
 def bench_latency() -> dict:
     """Batch-1 serving latency on the path cli.infer actually ships: fused
     Pallas decoder tail + Pallas CAB attention (the early-stage kernel joins
@@ -634,6 +700,11 @@ def main() -> None:
         out = bench_aug(*(int(a) for a in args[1:3]))
     elif mode == "aug-shared":
         out = bench_aug(*(int(a) for a in args[1:3]), shared=True)
+    elif mode == "train-aug":
+        out = bench_train_aug(int(args[1]) if len(args) > 1 else 16)
+    elif mode == "train-aug-exact":
+        out = bench_train_aug(int(args[1]) if len(args) > 1 else 16,
+                              shared=False)
     elif mode == "serve":
         kw = {}
         if len(args) > 1:
