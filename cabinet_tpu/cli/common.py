@@ -97,12 +97,6 @@ def build_datasets(cfg: Config, modes: Sequence[str]) -> List[Any]:
             f"Unknown dataset '{name}'. Available: {sorted(DATASET_REGISTRY)}")
     cls = DATASET_REGISTRY[name]
     builder = DATASET_KWARGS_BUILDERS[name]
-    if (bool(cfg.select("runtime.device_geometric", False))
-            and name == "cityscapes"):
-        raise ConfigurationError(
-            "runtime.device_geometric is not supported for cityscapes "
-            "(its recipe keeps the full host pipeline); use an aerial "
-            "dataset or drop the flag")
     if not cfg.dataset.dataset_path:
         raise ConfigurationError(
             "dataset_path is empty — set the dataset root env var for "

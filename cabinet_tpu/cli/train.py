@@ -216,15 +216,21 @@ def train_and_evaluate(cfg) -> dict:
             "with runtime.spatial_axis (the warp gathers across the full "
             "image height). Use the host pipeline for spatial partitioning.")
     if device_augs:
-        from cabinet_tpu.ops.photometric import photometric_pipeline
+        from cabinet_tpu.ops.photometric import (photometric_pipeline,
+                                                 street_photometric_pipeline)
 
         aug_cfg = dict(ds_train.aug)
         mean, std = ds_train.MEAN, ds_train.STD
+        # street (Cityscapes) datasets get the jitter/grayscale chain; the
+        # aerial sets get the YOLO-style HSV + mixup chain
+        photometric_fn = (street_photometric_pipeline
+                          if getattr(ds_train, "RECIPE", "aerial") == "street"
+                          else photometric_pipeline)
 
         @jax.jit
         def apply_device_augs(images, labels, key):
-            return photometric_pipeline(images, labels, key, aug_cfg,
-                                        mean=mean, std=std)
+            return photometric_fn(images, labels, key, aug_cfg,
+                                  mean=mean, std=std)
 
         if device_geom:
             from cabinet_tpu.ops.geometric import geometric_pipeline
@@ -242,7 +248,7 @@ def train_and_evaluate(cfg) -> dict:
                     canvas, label_canvas, hw, kg, aug_cfg, (crop_h, crop_w),
                     ignore_label=cfg.dataset.ignore_idx,
                     shared_linear=geo_shared)
-                return photometric_pipeline(imgs, lbs, kp, aug_cfg,
+                return photometric_fn(imgs, lbs, kp, aug_cfg,
                                             mean=mean, std=std)
 
         aug_key = jax.random.PRNGKey(cfg.runtime.seed + 1)

@@ -68,6 +68,7 @@ class FolderSegDataset:
     IMG_EXT = ".png"
     SPLITS = ("train", "val", "test")
     UNIFORM_RESOLUTION = False  # True => val/test may batch >1
+    RECIPE = "aerial"  # selects the device photometric chain in cli.train
 
     def __init__(
         self,
@@ -220,6 +221,11 @@ class FolderSegDataset:
             img, label = out["image"], out["label"]
         return self._normalize(img), self._decode_label(label)
 
+    def _canvas_label(self, label: Image.Image) -> Array:
+        """Label decode for the u8 canvas path (subclass hook: CityScapes
+        remaps raw ids -> trainIds here)."""
+        return np.asarray(label, dtype=np.uint8)
+
     def _load_canvas(self, idx: int, rng: np.random.Generator
                      ) -> Tuple[Array, Array, Array]:
         """geometric='device' host path: decode + ResizeIfLarger + memcpy
@@ -232,7 +238,7 @@ class FolderSegDataset:
             label = label.convert("L")
         out = self.trans_train({"image": img, "label": label}, rng)
         arr = np.asarray(out["image"], dtype=np.uint8)
-        lb = np.asarray(out["label"], dtype=np.uint8)
+        lb = self._canvas_label(out["label"])
         h, w = arr.shape[:2]
         s = self.canvas
         ci = np.zeros((s, s, 3), np.uint8)
@@ -302,6 +308,10 @@ class CityScapes(FolderSegDataset):
     MEAN = (0.485, 0.456, 0.406)
     STD = (0.229, 0.224, 0.225)
     UNIFORM_RESOLUTION = True  # all 2048x1024
+    RECIPE = "street"
+    # discrete RandomScale list (reference cityscapes.py:119) — consumed by
+    # sample_geometric_params as `scale_choices` on the device path
+    SCALE_CHOICES = (0.75, 1.0, 1.25, 1.5, 1.75, 2.0)
 
     def __init__(
         self,
@@ -311,11 +321,20 @@ class CityScapes(FolderSegDataset):
         mode: str = "train",
         config_file: Optional[str] = None,
         seed: int = 15,
+        photometric: str = "host",
+        geometric: str = "host",
     ) -> None:
         if mode not in ("train", "val", "test"):
             raise ValueError(f"Mode '{mode}' not supported.")
         if not osp.exists(rootpth):
             raise FileNotFoundError(f"Dataset root does not exist: {rootpth}")
+        if photometric not in ("host", "device"):
+            raise ValueError(f"photometric must be host|device, got {photometric}")
+        if geometric not in ("host", "device"):
+            raise ValueError(f"geometric must be host|device, got {geometric}")
+        if geometric == "device" and mode == "train" and photometric != "device":
+            raise ValueError("geometric='device' requires photometric='device' "
+                             "(the device pipeline normalizes after cropping)")
 
         self.mode = mode
         self.ignore_lb = ignore_lb
@@ -323,10 +342,14 @@ class CityScapes(FolderSegDataset):
         self.cropsize = tuple(int(c) for c in cropsize)
         self.seed = seed
         self.epoch = 0
-        self.aug = {}
+        # street geometric params for the device warp: flip + discrete
+        # scale + crop only (no rotate/translate/vflip, no mixup)
+        self.aug = {"fliplr": 0.5, "flipud": 0.0, "degrees": 0.0,
+                    "translate": 0.0, "scale_choices": self.SCALE_CHOICES,
+                    "mixup": 0.0}
         self.mixup_p = 0.0
-        self.photometric = "host"  # Cityscapes keeps the full host recipe
-        self.geometric = "host"
+        self.photometric = photometric
+        self.geometric = geometric if mode == "train" else "host"
 
         classes = (load_labels_info(config_file) if config_file
                    else CITYSCAPES_CLASSES)
@@ -354,15 +377,28 @@ class CityScapes(FolderSegDataset):
         if not self.samples:
             raise DatasetError(f"No valid image-label pairs found in {mode} set.")
 
-        self.trans_train = self._build_train_transforms() if mode == "train" else None
+        if self.geometric == "device":
+            # decode-only host path: cap resolution (2048x1024 natives fit
+            # the 2*cropsize canvas), defer the street recipe to device
+            self.canvas = 2 * max(self.cropsize)
+            self.trans_train = T.Compose(
+                [T.ResizeIfLarger(max_size=self.canvas, fast=True)])
+        else:
+            self.trans_train = (self._build_train_transforms()
+                                if mode == "train" else None)
 
     def _build_train_transforms(self) -> T.Compose:
         # Street-scene recipe (reference cityscapes.py:114-136).
-        return T.Compose([
+        geometric = [
             T.RandomHorizontalFlip(p=0.5),
-            T.RandomScale((0.75, 1.0, 1.25, 1.5, 1.75, 2.0)),
+            T.RandomScale(self.SCALE_CHOICES),
             T.RandomCrop(size=self.cropsize, pad_if_needed=True,
                          ignore_label=self.ignore_lb),
+        ]
+        if self.photometric == "device":
+            # ops/photometric.street_photometric_pipeline runs the rest
+            return T.Compose(geometric)
+        return T.Compose(geometric + [
             T.RandomColorJitter(brightness=0.5, contrast=0.5, saturation=0.5),
             T.RandomGrayscale(p=0.2),
             T.RandomGamma(gamma_range=(0.8, 1.2), p=0.3),
@@ -373,6 +409,11 @@ class CityScapes(FolderSegDataset):
     def _decode_label(self, label: Image.Image) -> Array:
         raw = np.asarray(label, dtype=np.int64)
         return self._lut[np.clip(raw, 0, 255)]
+
+    def _canvas_label(self, label: Image.Image) -> Array:
+        # raw ids -> trainIds for the u8 canvas (trainIds are 0..18 + 255)
+        raw = np.asarray(label, dtype=np.int64)
+        return self._lut[np.clip(raw, 0, 255)].astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +449,8 @@ def _aerial_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
 
 def _cityscapes_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
     d = cfg.dataset
+    device_geom = bool(cfg.select("runtime.device_geometric", False))
+    device_augs = device_geom or bool(cfg.select("runtime.device_augs", False))
     return {
         "ignore_lb": d.ignore_idx,
         "rootpth": d.dataset_path,
@@ -415,6 +458,8 @@ def _cityscapes_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
         "mode": mode,
         "config_file": d.get("config_file"),
         "seed": d.get("seed", 15),
+        "geometric": "device" if (device_geom and mode == "train") else "host",
+        "photometric": "device" if (device_augs and mode == "train") else "host",
     }
 
 

@@ -63,6 +63,13 @@ def sample_geometric_params(key: jax.Array, batch: int, aug: Dict,
     deg = float(aug.get("degrees", 0.0))
     s = float(aug.get("scale", 0.0))
     lin = () if shared_linear else (batch,)
+    # discrete RandomScale (the street recipe, reference cityscapes.py:119)
+    choices = aug.get("scale_choices")
+    if choices is not None:
+        scale = jax.random.choice(ks, jnp.asarray(choices, jnp.float32),
+                                  shape=lin)
+    else:
+        scale = jax.random.uniform(ks, lin, minval=1.0 - s, maxval=1.0 + s)
     return {
         "flip_h": jax.random.uniform(kf, (batch,)) < float(aug.get("fliplr", 0.0)),
         "flip_v": jax.random.uniform(kg, (batch,)) < float(aug.get("flipud", 0.0)),
@@ -70,8 +77,7 @@ def sample_geometric_params(key: jax.Array, batch: int, aug: Dict,
         "dy": jax.random.uniform(ku, (batch,), minval=-t, maxval=t) * h,
         "theta": jnp.deg2rad(
             jax.random.uniform(kr, lin, minval=-deg, maxval=deg)),
-        "scale": jax.random.uniform(ks, lin, minval=1.0 - s,
-                                    maxval=1.0 + s),
+        "scale": scale,
         "crop_u": jax.random.uniform(kc, (batch, 2)),
     }
 

@@ -103,6 +103,42 @@ def random_contrast(images: jnp.ndarray, key: jax.Array,
     return jnp.clip(mean + (images - mean) * factor, 0.0, 1.0)
 
 
+def _luma(images: jnp.ndarray) -> jnp.ndarray:
+    """PIL 'L' conversion (ITU-R 601 luma), kept as a trailing channel dim."""
+    return (images[..., 0] * 0.299 + images[..., 1] * 0.587
+            + images[..., 2] * 0.114)[..., None]
+
+
+def random_brightness(images: jnp.ndarray, key: jax.Array,
+                      strength: float = 0.5) -> jnp.ndarray:
+    """ImageEnhance.Brightness semantics: blend with black (scale)."""
+    B = images.shape[0]
+    factor = jax.random.uniform(key, (B, 1, 1, 1),
+                                minval=max(1 - strength, 0.0),
+                                maxval=1 + strength)
+    return jnp.clip(images * factor, 0.0, 1.0)
+
+
+def random_saturation(images: jnp.ndarray, key: jax.Array,
+                      strength: float = 0.5) -> jnp.ndarray:
+    """ImageEnhance.Color semantics: blend with the per-pixel grayscale."""
+    B = images.shape[0]
+    factor = jax.random.uniform(key, (B, 1, 1, 1),
+                                minval=max(1 - strength, 0.0),
+                                maxval=1 + strength)
+    gray = _luma(images)
+    return jnp.clip(gray + (images - gray) * factor, 0.0, 1.0)
+
+
+def random_grayscale(images: jnp.ndarray, key: jax.Array,
+                     p: float = 0.2) -> jnp.ndarray:
+    """PIL convert('L').convert('RGB') with probability p per sample."""
+    B = images.shape[0]
+    apply = jax.random.uniform(key, (B, 1, 1, 1)) < p
+    gray = jnp.broadcast_to(_luma(images), images.shape)
+    return jnp.where(apply, gray, images)
+
+
 def random_cutout(images: jnp.ndarray, key: jax.Array, size: int = 64,
                   p: float = 0.3) -> jnp.ndarray:
     B, H, W, _ = images.shape
@@ -159,6 +195,30 @@ def photometric_pipeline(images: jnp.ndarray, labels: jnp.ndarray,
     x = random_noise(x, k[3], 0.03, 0.3)
     x = random_cutout(x, k[4], 64, 0.3)
     x, labels = mixup(x, labels, k[5], aug.get("mixup", 0.1))
+    if mean is not None:
+        x = normalize(x, mean, std)
+    return x, labels
+
+
+def street_photometric_pipeline(images: jnp.ndarray, labels: jnp.ndarray,
+                                key: jax.Array, aug: Optional[Dict] = None,
+                                mean=None, std=None
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The Cityscapes street recipe's photometric tail, fused under one jit
+    (host recipe: data/datasets.py CityScapes._build_train_transforms,
+    reference cityscapes.py:114-136): ColorJitter(brightness/contrast/
+    saturation 0.5) -> grayscale p=.2 -> gamma -> noise -> cutout ->
+    normalize. No HSV, no mixup (the street recipe has neither)."""
+    del aug  # the street recipe is fixed (reference values)
+    k = jax.random.split(key, 6)
+    x = random_brightness(images, k[0], 0.5)
+    x = random_contrast(x, k[1], 0.5)
+    x = random_saturation(x, k[2], 0.5)
+    x = random_grayscale(x, k[3], 0.2)
+    x = random_gamma(x, k[4], (0.8, 1.2), 0.3)
+    kn, kc = jax.random.split(k[5])
+    x = random_noise(x, kn, 0.03, 0.3)
+    x = random_cutout(x, kc, 64, 0.3)
     if mean is not None:
         x = normalize(x, mean, std)
     return x, labels

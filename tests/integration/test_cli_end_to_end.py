@@ -196,6 +196,54 @@ def test_train_cli_with_device_geometric_shared(tiny_run):
     assert (exp.parent / "exp_dev_geo_sh" / "checkpoint_last").exists()
 
 
+def _make_cityscapes_tree(root, n=4, size=(24, 24)):
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        im_dir = root / "leftImg8bit" / split / "city"
+        gt_dir = root / "gtFine" / split / "city"
+        im_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        for i in range(n):
+            img = rng.integers(0, 255, (*size, 3), dtype=np.uint8)
+            raw = rng.integers(0, 34, size, dtype=np.uint8)
+            Image.fromarray(img).save(
+                im_dir / f"city_{i:06d}_leftImg8bit.png")
+            Image.fromarray(raw, "L").save(
+                gt_dir / f"city_{i:06d}_gtFine_labelIds.png")
+    return root
+
+
+def test_train_cli_cityscapes_device_geometric(tmp_path, monkeypatch):
+    """Cityscapes street recipe fully on device (flip + discrete scale +
+    crop warp, jitter/grayscale photometric chain): the carve-out is gone —
+    all four datasets train with runtime.device_geometric."""
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    data_root = _make_cityscapes_tree(tmp_path / "cs")
+    exp = tmp_path / "exp_cs"
+    monkeypatch.setenv("CITYSCAPES_ROOT", str(data_root))
+    cfg = compose(CONFIG_DIR, "train", TINY_MODEL_OVERRIDES + [
+        "dataset=cityscapes",
+        "dataset.cropsize=[16,16]",
+        "training_config.batch_size=2",
+        "training_config.num_workers=0",
+        "training_config.epochs=1",
+        "training_config.warmup_steps=1",
+        "training_config.cls_pw=0",
+        "training_config.patience=0",
+        f"training_config.experiments_path={exp}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "validation_config.eval_scales=[1.0]",
+        "validation_config.flip=false",
+        "runtime.compute_dtype=float32",
+        "runtime.device_geometric=true",
+    ])
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (exp / "checkpoint_last").exists()
+
+
 def test_train_cli_with_grain_loader(tiny_run):
     """runtime.loader=grain: the trainer runs one epoch with the grain
     multiprocess input pipeline feeding REAL worker processes (the

@@ -142,3 +142,47 @@ def test_cityscapes_lut_remap(tmp_path):
     _, lb = ds[0]
     vals = set(np.unique(lb))
     assert vals <= set(range(19)) | {255}  # raw ids remapped to trainIds
+
+
+def _make_cityscapes_train_tree(tmp_path):
+    rng = np.random.default_rng(0)
+    im_dir = tmp_path / "leftImg8bit" / "train" / "aachen"
+    gt_dir = tmp_path / "gtFine" / "train" / "aachen"
+    im_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    for i in range(2):
+        img = rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+        raw_ids = rng.integers(0, 34, (16, 24), dtype=np.uint8)
+        Image.fromarray(img).save(im_dir / f"aachen_{i:06d}_leftImg8bit.png")
+        Image.fromarray(raw_ids).save(
+            gt_dir / f"aachen_{i:06d}_gtFine_labelIds.png")
+    return tmp_path
+
+
+def test_cityscapes_device_geometric_canvas(tmp_path):
+    """geometric='device': CityScapes ships a u8 canvas with trainId-
+    remapped labels (the LUT runs on host; the street warp runs on chip)
+    and exposes the street geometric params for the device sampler."""
+    root = _make_cityscapes_train_tree(tmp_path)
+    ds = CityScapes(ignore_lb=255, rootpth=str(root), cropsize=(8, 8),
+                    mode="train", photometric="device", geometric="device")
+    ci, cl, hw = ds[0]
+    assert ci.dtype == np.uint8 and cl.dtype == np.uint8
+    assert ci.shape == (16, 16, 3) and cl.shape == (16, 16)
+    h, w = int(hw[0]), int(hw[1])
+    # 16x24 capped to the 16-px canvas (fast box-reduce decimates by an
+    # integer factor, so (16, 24) -> (8, 12))
+    assert 0 < h <= 16 and 0 < w <= 16
+    vals = set(np.unique(cl[:h, :w]))
+    assert vals <= set(range(19)) | {255}  # trainIds, not raw ids
+    assert (cl[h:, :] == 255).all()  # canvas padding ignore-filled
+    assert ds.aug["scale_choices"] == CityScapes.SCALE_CHOICES
+    assert ds.aug["degrees"] == 0.0 and ds.aug["translate"] == 0.0
+    assert ds.RECIPE == "street"
+
+
+def test_cityscapes_device_geometric_requires_device_photometric(tmp_path):
+    root = _make_cityscapes_train_tree(tmp_path)
+    with pytest.raises(ValueError, match="requires photometric"):
+        CityScapes(ignore_lb=255, rootpth=str(root), cropsize=(8, 8),
+                   mode="train", photometric="host", geometric="device")

@@ -132,6 +132,40 @@ def test_padding_never_leaks_and_classes_real():
     assert vals <= set(range(8)) | {IGN}
 
 
+def test_rectangular_crop_and_batch1():
+    """Non-square crops and B=1 run through BOTH warp paths and keep the
+    identity/masking contracts (AeroScapes-style geometry guard)."""
+    Hc2, Wc2 = 24, 40
+    ci = np.zeros((1, S, S, 3), np.uint8)
+    cl = np.full((1, S, S), IGN, np.uint8)
+    ci[:, :48, :56] = _rng.integers(0, 256, (1, 48, 56, 3))
+    cl[:, :48, :56] = _rng.integers(0, 8, (1, 48, 56))
+    hw = np.asarray([[48, 56]], np.int32)
+    p = {
+        "flip_h": jnp.asarray([False]),
+        "flip_v": jnp.asarray([False]),
+        "dx": jnp.zeros((1,), jnp.float32),
+        "dy": jnp.zeros((1,), jnp.float32),
+        "theta": jnp.zeros((1,), jnp.float32),
+        "scale": jnp.ones((1,), jnp.float32),
+        "crop_u": jnp.zeros((1, 2), jnp.float32),
+    }
+    oe, le = apply_geometric(jnp.asarray(ci), jnp.asarray(cl),
+                             jnp.asarray(hw), p, (Hc2, Wc2), IGN)
+    ps = dict(p)
+    ps["theta"] = p["theta"][0]
+    ps["scale"] = p["scale"][0]
+    os_, ls = apply_geometric_shared(jnp.asarray(ci), jnp.asarray(cl),
+                                     jnp.asarray(hw), ps, (Hc2, Wc2), IGN)
+    assert oe.shape == os_.shape == (1, Hc2, Wc2, 3)
+    assert le.shape == ls.shape == (1, Hc2, Wc2)
+    np.testing.assert_allclose(np.asarray(oe),
+                               np.asarray(ci[:, :Hc2, :Wc2]) / 255.0,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(oe), np.asarray(os_))
+    np.testing.assert_array_equal(np.asarray(le), np.asarray(ls))
+
+
 def test_pipeline_shared_deterministic_and_distribution():
     """geometric_pipeline(shared_linear=True): deterministic per key,
     scalar theta/scale shared across the batch, per-sample crops differ."""

@@ -74,6 +74,48 @@ def test_mixup_p_zero_identity():
     np.testing.assert_array_equal(np.asarray(out_l), np.asarray(lbls))
 
 
+def test_brightness_saturation_grayscale_semantics():
+    """Street-recipe ops (reference cityscapes.py:114-136): brightness
+    scales toward black, saturation blends with per-pixel luma, grayscale
+    replaces with luma at probability p."""
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.random((4, 8, 8, 3)).astype(np.float32))
+    # strength 0 => identity for brightness/saturation
+    np.testing.assert_allclose(
+        np.asarray(P.random_brightness(imgs, jax.random.PRNGKey(0), 0.0)),
+        np.asarray(imgs), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(P.random_saturation(imgs, jax.random.PRNGKey(0), 0.0)),
+        np.asarray(imgs), atol=1e-6)
+    # grayscale p=1: all three channels equal the ITU-R 601 luma
+    g = np.asarray(P.random_grayscale(imgs, jax.random.PRNGKey(1), p=1.0))
+    luma = (np.asarray(imgs) * [0.299, 0.587, 0.114]).sum(-1)
+    for c in range(3):
+        np.testing.assert_allclose(g[..., c], luma, atol=1e-6)
+    # grayscale p=0: identity
+    np.testing.assert_array_equal(
+        np.asarray(P.random_grayscale(imgs, jax.random.PRNGKey(1), p=0.0)),
+        np.asarray(imgs))
+    # a fully-gray image is a saturation fixed point
+    gray = jnp.broadcast_to(luma[..., None], imgs.shape).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(P.random_saturation(gray, jax.random.PRNGKey(2), 0.5)),
+        np.asarray(gray), atol=1e-6)
+
+
+def test_street_photometric_pipeline_jits():
+    rng = np.random.default_rng(8)
+    imgs = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    lbls = jnp.asarray(rng.integers(0, 19, (2, 16, 16)))
+    fn = jax.jit(lambda i, l, k: P.street_photometric_pipeline(
+        i, l, k, mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25)))
+    out_i, out_l = fn(imgs, lbls, jax.random.PRNGKey(9))
+    assert out_i.shape == imgs.shape
+    assert np.isfinite(np.asarray(out_i)).all()
+    # labels pass through untouched (no mixup in the street recipe)
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(lbls))
+
+
 def test_full_photometric_pipeline_jits():
     rng = np.random.default_rng(4)
     imgs = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
