@@ -15,6 +15,14 @@ Extra modes (one JSON line each, for NOTES/regression tracking):
                                         same server single-flight
   python bench.py aug [batch] [crop]  — on-device full-recipe augmentation
                                         ms/img (ops/geometric+photometric)
+  python bench.py aug-shared [...]    — same, batch-shared-rotation warp
+                                        (runtime.device_geometric=shared)
+  python bench.py train-aug [batch]   — END-TO-END train step INCLUDING the
+                                        on-device aug recipe from raw u8
+                                        canvases (shared warp)
+  python bench.py train-aug-exact     — same with the exact per-sample warp
+  python bench.py eval4k-scan         — 4K eval through the scan+DUS engine
+                                        (measured-retired A/B, NOTES r4)
   python bench.py yolo [n s m ...]    — YOLO-sem inference img/s by variant
   python bench.py yolo-train [...]    — YOLO-sem train-step img/s
   python bench.py eval4k              — full-protocol 4K eval s/img

@@ -127,11 +127,26 @@ def train(cfg) -> dict:
     ds_train, ds_val = common.build_datasets(cfg, ["train", "val"])
     common.guard_val_batch(cfg, ds_val, vc.batch_size)
 
+    if bool(cfg.select("runtime.device_geometric", False)):
+        from cabinet_tpu.core.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "runtime.device_geometric is not supported by the YOLO trainer "
+            "(mosaic/copy-paste compose decoded crops on the host); use "
+            "runtime.device_augs for the photometric chain")
+    # runtime.device_augs: the base dataset delivered geometric-only [0,1]
+    # crops (photometric='device'); HSV/contrast/gamma/noise/cutout/mixup +
+    # normalization run jitted per batch below. The host mosaic keeps its
+    # multi-image composition but must NOT also mixup (the device chain
+    # owns it — double application would square the mixup rate).
+    device_augs = getattr(ds_train, "photometric", "host") == "device"
+    base_aug = dict(getattr(ds_train, "aug", {}) or {})
+    base_mean, base_std = ds_train.MEAN, ds_train.STD
     aug = cfg.get("augmentation")
     ds_train = MosaicSegDataset(
         ds_train,
         mosaic=float(aug.get("mosaic", 0.8)),
-        mixup=float(aug.get("mixup", 0.1)),
+        mixup=0.0 if device_augs else float(aug.get("mixup", 0.1)),
         copy_paste=float(aug.get("copy_paste", 0.15)),
         ignore_label=cfg.dataset.ignore_idx,
         seed=cfg.runtime.seed,
@@ -203,14 +218,31 @@ def train(cfg) -> dict:
         return (jax.device_put(imgs, batch_sharding(mesh, 4)),
                 jax.device_put(lbs, batch_sharding(mesh, 3)))
 
+    if device_augs:
+        from cabinet_tpu.ops.photometric import photometric_pipeline
+
+        mixup_p = float(aug.get("mixup", 0.1))
+        base_aug["mixup"] = mixup_p
+
+        @jax.jit
+        def apply_device_augs(images, labels, key):
+            return photometric_pipeline(images, labels, key, base_aug,
+                                        mean=base_mean, std=base_std)
+
+        aug_key = jax.random.PRNGKey(cfg.runtime.seed + 11)
+
     for epoch in range(start_epoch, int(tc.epochs)):
         t0 = time.time()
         if close_mosaic and epoch >= int(tc.epochs) - close_mosaic:
             ds_train.set_mosaic(False)
         dl_train.set_epoch(epoch)
         last_loss = float("nan")
-        for batch in dl_train:
+        for it, batch in enumerate(dl_train):
             imgs, lbs = put(batch)
+            if device_augs:
+                imgs, lbs = apply_device_augs(
+                    imgs, lbs,
+                    jax.random.fold_in(aug_key, epoch * len(dl_train) + it))
             state, loss = step(state, imgs, lbs)
             last_loss = float(loss)
         state = flush(state)

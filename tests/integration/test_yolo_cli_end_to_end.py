@@ -49,6 +49,47 @@ def test_train_yolo_cli_end_to_end(tmp_path, monkeypatch):
     assert len(res2["iou_per_class"]) == cfg.dataset.num_classes
 
 
+def test_train_yolo_device_augs(tmp_path, monkeypatch):
+    """runtime.device_augs=true through the YOLO trainer: the base dataset
+    delivers geometric-only [0,1] crops, host mosaic/copy-paste compose
+    them (its own mixup disabled — the device chain owns mixup), and the
+    photometric chain + normalization run jitted per batch. Guards the
+    silent-unnormalized-training failure mode."""
+    from cabinet_tpu.cli.train_yolo import train
+    from cabinet_tpu.core.exceptions import ConfigurationError
+
+    data_root = _make_tree(tmp_path / "data", n=4, size=(48, 48))
+    exp = tmp_path / "exp_dev"
+    monkeypatch.setenv("UAVID_YOLO_ROOT", str(data_root))
+    overrides = [
+        "dataset=uavid",
+        "training_config.epochs=1",
+        "training_config.batch_size=2",
+        "training_config.num_workers=0",
+        "training_config.imgsz=32",
+        "training_config.nbs=2",
+        "training_config.cls_pw=0",
+        "training_config.patience=0",
+        f"training_config.experiments_path={exp}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "runtime.compute_dtype=float32",
+        "+runtime.device_augs=true",
+    ]
+    cfg = compose(CONFIG_DIR, "train_yolo", overrides)
+    res = train(cfg)
+    assert np.isfinite(res["best_miou"])
+    assert (exp / "last").exists()
+
+    # device_geometric is host-mosaic-incompatible and must fail loudly
+    import pytest
+
+    cfg2 = compose(CONFIG_DIR, "train_yolo", overrides + [
+        "+runtime.device_geometric=true"])
+    with pytest.raises(ConfigurationError, match="mosaic"):
+        train(cfg2)
+
+
 def test_train_yolo_resume_continues(tmp_path, monkeypatch):
     """Interrupt-and-resume through the YOLO CLI: a 1-epoch run resumed to 2
     epochs restores step/EMA/stopper state (reference train_yolo.py:82-98)."""

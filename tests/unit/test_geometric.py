@@ -241,3 +241,44 @@ def test_distribution_sanity_vs_host_pipeline():
         (np.mean(h_ign), np.mean(d_ign))
     assert abs(np.mean(h_mean) - np.mean(d_mean)) < 0.04, \
         (np.mean(h_mean), np.mean(d_mean))
+
+
+def test_street_distribution_sanity_vs_host_pipeline():
+    """Cityscapes street recipe (hflip + DISCRETE RandomScale + crop): the
+    device warp with `scale_choices` must track the host PIL pipeline's
+    ignore-fraction and brightness distributions (the full device chain for
+    the no-rotate/no-translate street geometry)."""
+    from cabinet_tpu.data import transforms as T
+
+    img, lbl = rand_img(48, 48, seed=11)
+    choices = (0.75, 1.0, 1.25, 1.5, 1.75, 2.0)
+    aug = {"fliplr": 0.5, "flipud": 0.0, "degrees": 0.0, "translate": 0.0,
+           "scale_choices": choices}
+    crop = 32
+    host = T.Compose([
+        T.RandomHorizontalFlip(p=0.5),
+        T.RandomScale(choices),
+        T.RandomCrop(size=(crop, crop), pad_if_needed=True,
+                     ignore_label=IGNORE),
+    ])
+    n = 300
+    h_ign, h_mean = [], []
+    for s in range(n):
+        out = host({"image": Image.fromarray(img),
+                    "label": Image.fromarray(lbl)},
+                   np.random.default_rng(s))
+        h_ign.append((np.asarray(out["label"]) == IGNORE).mean())
+        h_mean.append(np.asarray(out["image"]).mean() / 255.0)
+
+    ci, cl, hw = make_canvas(img, lbl, 48)
+    ci_b = jnp.asarray(np.repeat(ci, n, 0))
+    cl_b = jnp.asarray(np.repeat(cl, n, 0))
+    hw_b = jnp.asarray(np.repeat(hw, n, 0))
+    oi, ol = geometric_pipeline(ci_b, cl_b, hw_b, jax.random.PRNGKey(1),
+                                aug, (crop, crop))
+    d_ign = (np.asarray(ol) == IGNORE).mean(axis=(1, 2))
+    d_mean = np.asarray(oi).mean(axis=(1, 2, 3))
+    assert abs(np.mean(h_ign) - np.mean(d_ign)) < 0.05, \
+        (np.mean(h_ign), np.mean(d_ign))
+    assert abs(np.mean(h_mean) - np.mean(d_mean)) < 0.04, \
+        (np.mean(h_mean), np.mean(d_mean))
