@@ -89,9 +89,11 @@ class _MicroBatcher:
         self.submit_timeout_s = float(submit_timeout_s)
         self._q: "queue.Queue[Optional[_Item]]" = queue.Queue(
             maxsize=max(1, int(queue_depth)))
+        self._closing = threading.Event()
         self._stats_lock = threading.Lock()
         self._lat_ms: collections.deque = collections.deque(maxlen=4096)
         self.n_requests = 0
+        self.n_errors = 0
         self.n_batches = 0
         self.n_coalesced_inputs = 0
         self._started = time.perf_counter()
@@ -100,6 +102,8 @@ class _MicroBatcher:
         self._thread.start()
 
     def submit(self, x: np.ndarray) -> np.ndarray:
+        if self._closing.is_set():
+            raise ServerBusy("server is shutting down")
         item = _Item(x)
         t0 = time.perf_counter()
         try:
@@ -108,24 +112,58 @@ class _MicroBatcher:
             raise ServerBusy(
                 f"request queue full ({self._q.maxsize}) for "
                 f"{self.submit_timeout_s:.0f}s") from None
-        item.event.wait()
+        # Bounded wait: a put() can land AFTER close() drained the queue
+        # (producer blocked on a full queue wins the race against the
+        # drain) — once the worker thread is dead nobody will ever set
+        # that item's event, so detect it instead of hanging forever.
+        while not item.event.wait(timeout=0.5):
+            if self._closing.is_set() and not self._thread.is_alive():
+                self._drain("server closed")  # release any same-race peers
+                if item.event.is_set():
+                    break
+                raise ServerBusy("server closed")
+        if item.error is not None:
+            # errored requests are NOT served throughput: count them
+            # separately and keep their latencies out of the percentiles
+            with self._stats_lock:
+                self.n_errors += 1
+            raise item.error
         lat_ms = (time.perf_counter() - t0) * 1e3
         with self._stats_lock:
             self._lat_ms.append(lat_ms)
             self.n_requests += 1
-        if item.error is not None:
-            raise item.error
         return item.result
 
     def close(self) -> None:
-        self._q.put(None)
+        """Signal shutdown and release every waiter. The flag (not a
+        blocking sentinel put) is the shutdown channel: a blocking put on
+        the bounded queue could deadlock against producers that keep it
+        full while the worker (the only consumer) is the one blocked."""
+        self._closing.set()
+        try:
+            self._q.put_nowait(None)  # wake a worker idle on q.get()
+        except queue.Full:
+            pass  # worker is busy; it checks the flag between batches
         self._thread.join(timeout=5)
+        self._drain("server closed")
+
+    def _drain(self, reason: str) -> None:
+        """Error out anything still queued so no submit() waits forever."""
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if it is not None:
+                it.error = ServerBusy(reason)
+                it.event.set()
 
     def reset_stats(self) -> None:
         """Zero counters/latencies (bench warmup exclusion)."""
         with self._stats_lock:
             self._lat_ms.clear()
             self.n_requests = self.n_batches = self.n_coalesced_inputs = 0
+            self.n_errors = 0
             self._started = time.perf_counter()
 
     def stats(self) -> dict:
@@ -141,6 +179,7 @@ class _MicroBatcher:
         elapsed = time.perf_counter() - self._started
         return {
             "requests": n_req,
+            "errors": self.n_errors,
             "batches": n_b,
             "mean_batch_size": round(n_co / n_b, 3) if n_b else None,
             "max_batch": self.max_batch,
@@ -152,10 +191,13 @@ class _MicroBatcher:
         }
 
     def _loop(self) -> None:
-        while True:
-            first = self._q.get()
+        while not self._closing.is_set():
+            try:  # bounded get so the flag is re-checked while idle
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
             if first is None:
-                return
+                break
             items = [first]
             deadline = time.perf_counter() + self.deadline_s
             while len(items) < self.max_batch:
@@ -166,7 +208,6 @@ class _MicroBatcher:
                 except queue.Empty:
                     break
                 if nxt is None:  # close() raced a live batch: finish it
-                    self._q.put(None)
                     break
                 items.append(nxt)
             n = len(items)
@@ -187,6 +228,24 @@ class _MicroBatcher:
                 self.n_coalesced_inputs += n
             for it in items:
                 it.event.set()
+        self._drain("server closed")
+
+
+def _pad_to_regime(forward):
+    """Micro-batcher contract shared by both engine paths: pad the real
+    rows to the regime ON DEVICE (host-side padding would ship dead rows
+    H2D) and slice back BEFORE the fetch (padded rows never cross D2H)."""
+    import jax.numpy as jnp
+
+    def infer_batch(xs: np.ndarray, regime: int) -> np.ndarray:
+        x = jnp.asarray(xs)
+        if regime > xs.shape[0]:
+            x = jnp.concatenate(
+                [x, jnp.zeros((regime - xs.shape[0],) + xs.shape[1:],
+                              x.dtype)])
+        return np.asarray(forward(x)[:xs.shape[0]])
+
+    return infer_batch
 
 
 class _Engine:
@@ -195,11 +254,9 @@ class _Engine:
     def __init__(self, artifact: Optional[str], checkpoint: Optional[str],
                  dataset: Optional[str], mode: str, imgsz: int,
                  dtype: str, max_batch: int = 8, deadline_ms: float = 3.0,
-                 queue_depth: int = 64):
+                 queue_depth: int = 64, submit_timeout_s: float = 30.0):
         self.palette = None
         if artifact:
-            import jax.numpy as jnp
-
             from cabinet_tpu.export import load_artifact
 
             serve, meta = load_artifact(artifact)
@@ -233,18 +290,9 @@ class _Engine:
                                                  Image.BILINEAR)
                 return np.asarray(im, np.uint8)
 
-            def infer_batch(xs: np.ndarray, regime: int) -> np.ndarray:
-                x = jnp.asarray(xs)
-                if regime > xs.shape[0]:
-                    x = jnp.concatenate(
-                        [x, jnp.zeros((regime - xs.shape[0],) + xs.shape[1:],
-                                      x.dtype)])
-                # slice BEFORE the fetch: padded rows never cross D2H
-                return np.asarray(serve(x)[:xs.shape[0]])
+            infer_batch = _pad_to_regime(serve)
 
         else:
-            import jax.numpy as jnp
-
             from cabinet_tpu.cli.infer import Segmenter
             from cabinet_tpu.data.palettes import PALETTES, trainid_palette
 
@@ -261,19 +309,14 @@ class _Engine:
             def preprocess(rgb: np.ndarray) -> np.ndarray:
                 return seg._preprocess(rgb)
 
-            def infer_batch(xs: np.ndarray, regime: int) -> np.ndarray:
-                x = jnp.asarray(xs)
-                if regime > xs.shape[0]:
-                    x = jnp.concatenate(
-                        [x, jnp.zeros((regime - xs.shape[0],) + xs.shape[1:],
-                                      x.dtype)])
-                return np.asarray(seg._forward(seg.variables,
-                                               x)[:xs.shape[0]])
+            infer_batch = _pad_to_regime(
+                lambda x: seg._forward(seg.variables, x))
 
         self._preprocess = preprocess
         self.batcher = _MicroBatcher(infer_batch, max_batch=max_batch,
                                      deadline_ms=deadline_ms,
-                                     queue_depth=queue_depth)
+                                     queue_depth=queue_depth,
+                                     submit_timeout_s=submit_timeout_s)
 
     def predict(self, rgb: np.ndarray) -> np.ndarray:
         # preprocessing runs on the HTTP thread — concurrent requests'
@@ -390,7 +433,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                    help="how long the first queued request waits for "
                         "company before the forward launches")
     p.add_argument("--queue-depth", type=int, default=64,
-                   help="bounded request queue (full -> 503 backpressure)")
+                   help="bounded request queue; once full, submits wait up "
+                        "to --submit-timeout-s before the 503")
+    p.add_argument("--submit-timeout-s", type=float, default=30.0,
+                   help="how long a request may wait on a full queue before "
+                        "503 backpressure (lower = shed load sooner)")
     args = p.parse_args(argv)
     if args.checkpoint and not args.dataset:
         raise SystemExit("--checkpoint requires --dataset")
@@ -399,7 +446,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                      args.mode, args.imgsz, args.dtype,
                      max_batch=args.max_batch,
                      deadline_ms=args.batch_deadline_ms,
-                     queue_depth=args.queue_depth)
+                     queue_depth=args.queue_depth,
+                     submit_timeout_s=args.submit_timeout_s)
     server = make_server(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(meta: {engine.meta.get('dataset')}, {engine.imgsz}^2)",

@@ -150,6 +150,9 @@ def train(cfg) -> dict:
         copy_paste=float(aug.get("copy_paste", 0.15)),
         ignore_label=cfg.dataset.ignore_idx,
         seed=cfg.runtime.seed,
+        # device mode composes raw [0,1] crops: pad with the dataset mean
+        # (in host mode zeros already ARE the mean in normalized space)
+        pad_value=np.asarray(base_mean, np.float32) if device_augs else 0.0,
     )
     close_mosaic = int(aug.get("close_mosaic", 0))
 

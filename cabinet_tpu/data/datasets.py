@@ -335,6 +335,9 @@ class CityScapes(FolderSegDataset):
         if geometric == "device" and mode == "train" and photometric != "device":
             raise ValueError("geometric='device' requires photometric='device' "
                              "(the device pipeline normalizes after cropping)")
+        if geometric == "device" and not (0 <= ignore_lb <= 255):
+            raise ValueError("geometric='device' ships labels as uint8; "
+                             f"ignore_lb={ignore_lb} does not fit")
 
         self.mode = mode
         self.ignore_lb = ignore_lb
@@ -378,9 +381,16 @@ class CityScapes(FolderSegDataset):
             raise DatasetError(f"No valid image-label pairs found in {mode} set.")
 
         if self.geometric == "device":
-            # decode-only host path: cap resolution (2048x1024 natives fit
-            # the 2*cropsize canvas), defer the street recipe to device
-            self.canvas = 2 * max(self.cropsize)
+            # decode-only host path, street recipe deferred to device. The
+            # host street recipe never resizes, so the canvas must hold the
+            # NATIVE resolution even for small crops — a bare 2*cropsize
+            # canvas would silently downscale every frame (ResizeIfLarger
+            # box-reduce) before the on-device RandomScale whenever
+            # max(cropsize) < native/2. Cityscapes is uniform-resolution;
+            # PIL reads only the header here.
+            with Image.open(self.samples[0][0]) as im0:
+                native = max(im0.size)
+            self.canvas = max(2 * max(self.cropsize), native)
             self.trans_train = T.Compose(
                 [T.ResizeIfLarger(max_size=self.canvas, fast=True)])
         else:

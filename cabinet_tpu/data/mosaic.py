@@ -29,13 +29,20 @@ class MosaicSegDataset:
 
     def __init__(self, base: Any, mosaic: float = 0.8, mixup: float = 0.1,
                  copy_paste: float = 0.15, ignore_label: int = 255,
-                 seed: int = 0):
+                 seed: int = 0, pad_value: Any = 0.0):
+        """pad_value fills uncovered mosaic-canvas pixels. The default 0.0
+        is correct for NORMALIZED inputs (zero = the dataset mean color);
+        with raw [0,1] inputs (runtime.device_augs — normalization happens
+        later on device) pass the dataset MEAN so the padding stays the
+        mean color instead of silently becoming pure black (~-2 sigma
+        after device normalization)."""
         self.base = base
         self.mosaic_p = float(mosaic)
         self.mixup_p = float(mixup)
         self.copy_paste_p = float(copy_paste)
         self.ignore_label = ignore_label
         self.seed = seed
+        self.pad_value = np.asarray(pad_value, np.float32)
         self.epoch = 0
         self._mosaic_enabled = True
 
@@ -56,6 +63,7 @@ class MosaicSegDataset:
                  ) -> Tuple[np.ndarray, np.ndarray]:
         h, w = self.base[idx][0].shape[:2]
         canvas_i = np.zeros((2 * h, 2 * w, 3), np.float32)
+        canvas_i[:] = self.pad_value
         canvas_l = np.full((2 * h, 2 * w), self.ignore_label, np.int64)
         # jittered center in the middle half of the canvas
         cy = int(rng.integers(h // 2, h + h // 2 + 1))

@@ -170,9 +170,47 @@ def test_microbatcher_coalesces_and_routes():
         mb2 = _MicroBatcher(boom, max_batch=2, deadline_ms=5)
         with pytest.raises(RuntimeError, match="kaboom"):
             mb2.submit(np.zeros((2, 2), np.uint8))
+        # errored requests stay out of the served-throughput stats
+        assert mb2.stats()["requests"] == 0
+        assert mb2.stats()["errors"] == 1
         mb2.close()
     finally:
         mb.close()
+
+
+def test_microbatcher_close_under_load_releases_all_waiters():
+    """close() while producers keep a TINY queue full must terminate within
+    the join timeout and release every waiter (result or ServerBusy) — the
+    old blocking sentinel re-put could deadlock the worker against
+    producers on a full queue."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cabinet_tpu.cli.serve import ServerBusy, _MicroBatcher
+
+    def slow_infer(xs, regime):
+        _time.sleep(0.05)  # keep the queue saturated
+        return xs[:, 0, 0]
+
+    mb = _MicroBatcher(slow_infer, max_batch=2, deadline_ms=1,
+                       queue_depth=2, submit_timeout_s=2.0)
+
+    def one(i):
+        try:
+            return ("ok", mb.submit(np.full((2, 2), i, np.uint8)))
+        except ServerBusy as e:
+            return ("busy", str(e))
+
+    with ThreadPoolExecutor(12) as pool:
+        futs = [pool.submit(one, i) for i in range(24)]
+        _time.sleep(0.1)  # mid-flight, queue full
+        t0 = _time.perf_counter()
+        mb.close()
+        close_s = _time.perf_counter() - t0
+        outcomes = [f.result(timeout=10) for f in futs]  # nobody hangs
+    assert close_s < 6.0, f"close() blocked {close_s:.1f}s"
+    assert all(kind in ("ok", "busy") for kind, _ in outcomes)
+    assert any(kind == "ok" for kind, _ in outcomes)
 
 
 @pytest.fixture(scope="module")

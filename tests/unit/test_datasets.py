@@ -168,11 +168,12 @@ def test_cityscapes_device_geometric_canvas(tmp_path):
                     mode="train", photometric="device", geometric="device")
     ci, cl, hw = ds[0]
     assert ci.dtype == np.uint8 and cl.dtype == np.uint8
-    assert ci.shape == (16, 16, 3) and cl.shape == (16, 16)
+    # the canvas must hold the NATIVE 16x24 resolution unresized (the host
+    # street recipe never resizes — a 2*cropsize canvas would silently
+    # downscale), so it is floored at the native longer side, 24
+    assert ci.shape == (24, 24, 3) and cl.shape == (24, 24)
     h, w = int(hw[0]), int(hw[1])
-    # 16x24 capped to the 16-px canvas (fast box-reduce decimates by an
-    # integer factor, so (16, 24) -> (8, 12))
-    assert 0 < h <= 16 and 0 < w <= 16
+    assert (h, w) == (16, 24)  # full native, no ResizeIfLarger reduction
     vals = set(np.unique(cl[:h, :w]))
     assert vals <= set(range(19)) | {255}  # trainIds, not raw ids
     assert (cl[h:, :] == 255).all()  # canvas padding ignore-filled
