@@ -192,3 +192,26 @@ def test_pipeline_shared_deterministic_and_distribution():
         for i in range(200)])
     assert abs(np.mean(ths)) < np.deg2rad(2.0)
     assert np.deg2rad(5.0) < np.std(ths) < np.deg2rad(7.0)
+
+
+def test_shared_distribution_tracks_exact_path():
+    """End-to-end distribution parity of the shared warp vs the exact
+    per-sample warp: over many BATCH draws (theta/scale shared within a
+    batch but fresh per key) the ignore-fraction and brightness statistics
+    must match the exact path's — the marginal augmentation distribution
+    is unchanged, only within-batch correlation differs."""
+    ci, cl, hw = canvases(48, 56)
+    aug = {"degrees": 10, "translate": 0.05, "scale": 0.3, "fliplr": 0.5,
+           "flipud": 0.2}
+    n_keys = 40
+    stats = {}
+    for shared in (False, True):
+        ign, mean = [], []
+        for k in range(n_keys):
+            oi, ol = geometric_pipeline(ci, cl, hw, jax.random.PRNGKey(k),
+                                        aug, (32, 32), shared_linear=shared)
+            ign.append((np.asarray(ol) == IGN).mean())
+            mean.append(np.asarray(oi).mean())
+        stats[shared] = (np.mean(ign), np.mean(mean))
+    assert abs(stats[True][0] - stats[False][0]) < 0.05, stats
+    assert abs(stats[True][1] - stats[False][1]) < 0.04, stats
