@@ -295,10 +295,11 @@ def apply_geometric_shared(images: jnp.ndarray, labels: jnp.ndarray,
                            padding (so clamp semantics survive shared
                            indices), analytic validity masks as before.
 
-    The gather itself is ONE lax.gather of 1M shared indices, each fetching
-    (3 x-taps, B lanes, 3 y-taps) u32 RGB+label words: x-taps ride a
-    3-row slice on the row-major flattened canvas, y-taps ride three
-    pre-shifted lanes.
+    The gather itself is ONE full-row take of 1M shared indices from a
+    pre-built (S*S, B*9) lane array holding all nine (ty, tx) tap shifts —
+    unit-major-slice row takes run at the flat ~14 ns/index cost, whereas
+    the same fetch expressed as a (3, B*3) windowed slice gather measured
+    ~100x slower composed (NOTES r4).
 
     Documented divergences from `apply_geometric` (all augmentation-level;
     marginal parameter distributions are identical):
