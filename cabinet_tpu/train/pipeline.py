@@ -1,0 +1,341 @@
+"""Pipeline-parallel training: CABiNet split into device-resident stages.
+
+The reference has no pipeline parallelism (SURVEY §2.6: "TP / PP / SP / EP —
+none"); this module goes beyond it so the framework's parallelism story is
+complete for models that outgrow one chip (the deep YOLO-sem variants, or
+CABiNet at video batch sizes where activations dominate HBM).
+
+TPU-first design — why this is NOT a GSPMD sharding:
+  GSPMD (the mesh layer in core/mesh.py) shards every op over ALL mesh
+  devices; true pipeline parallelism needs device-DISJOINT placement of
+  heterogeneous stages, which a single jitted SPMD program cannot express.
+  The JAX-native construction is multi-program placement + async dispatch:
+  each stage is its own jitted program whose operands live on that stage's
+  (sub-)mesh, inter-stage activations move with `jax.device_put` (an ICI
+  copy), and the GPipe schedule is simply the host's DISPATCH ORDER — JAX
+  enqueues work per device in FIFO order, so dispatching
+  F0(0), F0(1), B0(0), F0(2), B0(1), ... gives the classic
+  one-forward-one-backward interleave with no scheduler code: stage 1
+  consumes microbatch m while stage 0 already runs microbatch m+1.
+
+Numeric contract (tests/unit/test_pipeline.py): one pipeline step over M
+microbatches is equivalent to the fused trainer (train/trainer.py) run with
+`accum_steps=M` over the same microbatches — same per-microbatch OHEM
+selection (reference train.py:429-435 semantics), same 1/M loss scaling,
+same GLOBAL-norm clip across both stages' gradients (train.py:411-427),
+same once-per-window optimizer/EMA advance, same chained BatchNorm-stat
+updates. Stage-0 activations are rematerialized in its backward (standard
+GPipe checkpointing) — gradients are bit-identical in exact arithmetic and
+agree to float tolerance with the fused single-program step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cabinet_tpu.core.mesh import batch_sharding, make_mesh, replicate
+from cabinet_tpu.train.ema import EmaState, ema_init, ema_update
+from cabinet_tpu.train.losses import ohem_cross_entropy
+
+# Stage partition of CABiNet's top-level modules (models/cabinet.py setup):
+# stage 0 = the MobileNetV3 backbone (the deep sequential trunk), stage 1 =
+# everything that consumes its /32 features (spatial branch reads the raw
+# image, so the image rides along to stage 1 as data, not activations).
+CABINET_STAGE_KEYS: Tuple[Tuple[str, ...], ...] = (
+    ("mobile",),
+    ("sb", "ab", "ffm", "conv_out"),
+)
+
+
+def split_variables(variables: Dict[str, Any],
+                    stage_keys: Sequence[Sequence[str]]) -> List[Dict[str, Any]]:
+    """Partition a Flax variable dict by top-level module name per stage."""
+    parts: List[Dict[str, Any]] = []
+    for keys in stage_keys:
+        part: Dict[str, Any] = {}
+        for coll, tree in variables.items():
+            sub = {k: tree[k] for k in keys if k in tree}
+            if sub:
+                part[coll] = sub
+        parts.append(part)
+    seen = [k for keys in stage_keys for k in keys]
+    missing = [k for k in variables.get("params", {}) if k not in seen]
+    if missing:
+        raise ValueError(f"stage_keys do not cover modules: {missing}")
+    return parts
+
+
+def merge_variables(parts: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Inverse of split_variables (host copies — for eval/checkpointing)."""
+    merged: Dict[str, Any] = {}
+    for part in parts:
+        for coll, tree in part.items():
+            merged.setdefault(coll, {}).update(
+                {k: jax.device_get(v) for k, v in tree.items()})
+    return merged
+
+
+def make_pipeline_meshes(n_stages: int = 2, dp: int = 1,
+                         devices: Optional[Sequence[jax.Device]] = None,
+                         ) -> List[Any]:
+    """Contiguous device groups, one (dp, 1) mesh per pipeline stage."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_stages * dp
+    if len(devices) < need:
+        raise ValueError(f"pipeline needs {need} devices, have {len(devices)}")
+    return [make_mesh(n_data=dp, n_model=1,
+                      devices=devices[i * dp:(i + 1) * dp])
+            for i in range(n_stages)]
+
+
+@flax.struct.dataclass
+class StageState:
+    """Per-stage slice of the train state, resident on that stage's mesh."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    ema: EmaState
+
+
+def _backbone_method(module, x, train):
+    return module.mobile(x, train)
+
+
+def _decode_method(module, x, feat, train):
+    # CABiNet._decode is the post-backbone graph (models/cabinet.py:182-197);
+    # invoking it via apply(method=...) reuses the exact module tree, so the
+    # pipeline has zero duplicated model code and zero parity risk.
+    return module._decode(x, feat, train)
+
+
+class CabinetPipeline:
+    """Two-stage GPipe trainer for CABiNet over device-disjoint meshes.
+
+    tx_factory(params_subtree) must build the stage's optimizer WITHOUT
+    gradient clipping (pass max_grad_norm=None to train.optimizer helpers);
+    the pipeline applies the reference's GLOBAL-norm clip itself across both
+    stages' gradients so semantics match the single-program trainer.
+    """
+
+    def __init__(
+        self,
+        model: Any,
+        tx_factory: Callable[[Any], Any],
+        n_min: int,
+        num_microbatches: int,
+        meshes: Sequence[Any],
+        thresh: float = 0.7,
+        ignore_label: int = 255,
+        class_weights: Optional[jnp.ndarray] = None,
+        aux_weight: float = 1.0,
+        loss_type: str = "ohem",
+        ohem_method: str = "bisect",
+        compute_dtype: Any = jnp.float32,
+        max_grad_norm: Optional[float] = None,
+        ema_decay: float = 0.9999,
+        ema_tau: float = 2000.0,
+    ) -> None:
+        if len(meshes) != 2:
+            raise ValueError("CabinetPipeline is a 2-stage pipeline: "
+                             f"got {len(meshes)} meshes")
+        self.model = model
+        self.tx_factory = tx_factory
+        self.meshes = list(meshes)
+        self.M = int(num_microbatches)
+        self.max_grad_norm = max_grad_norm
+        self.ema_decay, self.ema_tau = ema_decay, ema_tau
+        self._txs: List[Any] = []
+        self._update_fns: List[Callable] = []
+        cw = None if class_weights is None else jnp.asarray(class_weights)
+
+        def seg_loss(logits, labels):
+            if loss_type == "ohem":
+                return ohem_cross_entropy(logits, labels, n_min, thresh,
+                                          ignore_label, cw,
+                                          method=ohem_method)
+            from cabinet_tpu.train.losses import cross_entropy_mean
+
+            return cross_entropy_mean(logits, labels, ignore_label, cw)
+
+        M = self.M
+
+        def fwd0(params, stats, x):
+            feat, mut = model.apply(
+                {"params": params, "batch_stats": stats},
+                x.astype(compute_dtype), train=True,
+                method=_backbone_method, mutable=["batch_stats"])
+            return feat, mut["batch_stats"]
+
+        def loss1(params, stats, x, feat, labels):
+            (final, aux), mut = model.apply(
+                {"params": params, "batch_stats": stats},
+                x.astype(compute_dtype), feat, train=True,
+                method=_decode_method, mutable=["batch_stats"])
+            loss = seg_loss(final, labels) + aux_weight * seg_loss(aux, labels)
+            return loss / M, mut["batch_stats"]
+
+        def bwd0(params, stats, x, g_feat):
+            # Stage-0 backward rematerializes its forward (GPipe activation
+            # checkpointing): only (params, x, cotangent) cross the program
+            # boundary, never vjp residuals. BN train-mode outputs do not
+            # depend on the running stats, so any stats snapshot is valid.
+            def f(p):
+                feat, _ = model.apply(
+                    {"params": p, "batch_stats": stats},
+                    x.astype(compute_dtype), train=True,
+                    method=_backbone_method, mutable=["batch_stats"])
+                return feat
+
+            _, vjp = jax.vjp(f, params)
+            return vjp(g_feat)[0]
+
+        self._fwd0 = jax.jit(fwd0)
+        self._vg1 = jax.jit(
+            jax.value_and_grad(loss1, argnums=(0, 3), has_aux=True))
+        self._bwd0 = jax.jit(bwd0)
+        self._acc = jax.jit(
+            lambda acc, g: jax.tree_util.tree_map(jnp.add, acc, g),
+            donate_argnums=(0,))
+        self._sqnorm = jax.jit(lambda g: sum(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+            for leaf in jax.tree_util.tree_leaves(g)))
+        self._zeros = jax.jit(
+            lambda p: jax.tree_util.tree_map(jnp.zeros_like, p))
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, variables: Dict[str, Any]) -> List[StageState]:
+        """Split full-model variables into per-stage states on their meshes
+        and build each stage's optimizer + jitted update program."""
+        parts = split_variables(variables, CABINET_STAGE_KEYS)
+        self._txs, self._update_fns, states = [], [], []
+        for part, mesh in zip(parts, self.meshes):
+            params = part["params"]
+            stats = part.get("batch_stats", {})
+            tx = self.tx_factory(params)
+            state = StageState(
+                params=params, batch_stats=stats, opt_state=tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+                ema=ema_init({"params": params, "batch_stats": stats},
+                             decay=self.ema_decay, tau=self.ema_tau))
+            states.append(replicate(state, mesh))
+            self._txs.append(tx)
+            self._update_fns.append(self._make_update(tx))
+        return states
+
+    def _make_update(self, tx) -> Callable:
+        max_norm = self.max_grad_norm
+
+        def update(state: StageState, grads, own_sq, other_sq) -> StageState:
+            if max_norm:
+                # Same formulation as optax.clip_by_global_norm, with the
+                # norm taken over BOTH stages' gradients (reference clips
+                # the global norm, train.py:411-427).
+                g_norm = jnp.sqrt(own_sq + other_sq)
+                trig = g_norm < max_norm
+                grads = jax.tree_util.tree_map(
+                    lambda t: jax.lax.select(
+                        trig, t, (t / g_norm.astype(t.dtype)) * max_norm),
+                    grads)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = ema_update(state.ema, {"params": new_params,
+                                             "batch_stats": state.batch_stats})
+            return state.replace(params=new_params, opt_state=new_opt,
+                                 step=state.step + 1, ema=new_ema)
+
+        # Donate only the state: grads share no output buffers (the params
+        # update aliases the state tree), so donating them just warns.
+        return jax.jit(update, donate_argnums=(0,))
+
+    # -- the step ----------------------------------------------------------
+
+    def train_step(self, states: List[StageState], images: np.ndarray,
+                   labels: np.ndarray) -> Tuple[List[StageState], jnp.ndarray]:
+        """One optimizer step: M microbatches through the 2-stage pipeline.
+
+        All device work is dispatched asynchronously; the only host sync is
+        JAX's own dispatch. Stage-0 backward for microbatch m is dispatched
+        AFTER stage-0 forward for m+1, so stage 0's FIFO never stalls on
+        stage 1 (the 1F1B interleave; see module docstring).
+        """
+        s0, s1 = states
+        M = self.M
+        B = images.shape[0]
+        if B % M != 0:
+            raise ValueError(f"batch {B} not divisible by {M} microbatches")
+        mb = B // M
+        mesh0, mesh1 = self.meshes
+        sh0 = batch_sharding(mesh0, images.ndim)
+        sh1x = batch_sharding(mesh1, images.ndim)
+        sh1y = batch_sharding(mesh1, labels.ndim)
+
+        p0, stats0 = s0.params, s0.batch_stats
+        p1, stats1 = s1.params, s1.batch_stats
+        g0_acc = self._zeros(p0)
+        g1_acc = self._zeros(p1)
+        losses = []
+        pending: List[Tuple[Any, Any]] = []  # (x0_m, g_feat on mesh0)
+
+        def drain_one():
+            x0_m, gf0 = pending.pop(0)
+            nonlocal g0_acc
+            g0 = self._bwd0(p0, stats0, x0_m, gf0)
+            g0_acc = self._acc(g0_acc, g0)
+
+        for m in range(M):
+            lo = m * mb
+            x_m = images[lo:lo + mb]
+            x0_m = jax.device_put(x_m, sh0)
+            x1_m = jax.device_put(x_m, sh1x)
+            y_m = jax.device_put(labels[lo:lo + mb], sh1y)
+
+            feat, stats0 = self._fwd0(p0, stats0, x0_m)
+            feat1 = jax.device_put(feat, batch_sharding(mesh1, feat.ndim))
+            (loss_m, stats1), (g1, g_feat) = self._vg1(
+                p1, stats1, x1_m, feat1, y_m)
+            g1_acc = self._acc(g1_acc, g1)
+            losses.append(loss_m)
+            pending.append(
+                (x0_m, jax.device_put(g_feat,
+                                      batch_sharding(mesh0, g_feat.ndim))))
+            if m >= 1:
+                drain_one()
+        while pending:
+            drain_one()
+
+        # Global-norm clip needs both stages' norms: exchange two scalars
+        # over ICI (no host round trip), then update each stage in place.
+        sq0 = self._sqnorm(g0_acc)
+        sq1 = self._sqnorm(g1_acc)
+        sq0_on1 = jax.device_put(sq0, NamedSharding(mesh1, P()))
+        sq1_on0 = jax.device_put(sq1, NamedSharding(mesh0, P()))
+
+        s0 = self._update_fns[0](s0.replace(batch_stats=stats0), g0_acc,
+                                 sq0, sq1_on0)
+        s1 = self._update_fns[1](s1.replace(batch_stats=stats1), g1_acc,
+                                 sq1, sq0_on1)
+        # Reported loss matches the fused trainer: mean UNSCALED microbatch
+        # loss = mean(loss_m * M) = sum of the 1/M-scaled microbatch losses.
+        loss = sum(losses)
+        return [s0, s1], loss
+
+    # -- eval / checkpoint surface ------------------------------------------
+
+    def merged_variables(self, states: Sequence[StageState]) -> Dict[str, Any]:
+        return merge_variables([{"params": s.params,
+                                 "batch_stats": s.batch_stats}
+                                for s in states])
+
+    def merged_ema_variables(self, states: Sequence[StageState]
+                             ) -> Dict[str, Any]:
+        return merge_variables([s.ema.variables for s in states])

@@ -1,0 +1,135 @@
+"""Pipeline-parallel trainer (train/pipeline.py): numeric equivalence with
+the fused single-program trainer, DP invariance, and variable round-trip.
+
+The contract under test: one CabinetPipeline.train_step over M microbatches
+== the fused trainer (train/trainer.py) with accum_steps=M fed the same
+microbatches — identical OHEM selection, 1/M loss scaling, GLOBAL-norm clip
+across both stages, once-per-window optimizer/EMA advance, chained BN stats.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cabinet_tpu.models import CABiNet
+from cabinet_tpu.train.optimizer import build_optimizer
+from cabinet_tpu.train.pipeline import (
+    CABINET_STAGE_KEYS,
+    CabinetPipeline,
+    make_pipeline_meshes,
+    merge_variables,
+    split_variables,
+)
+from cabinet_tpu.train.trainer import create_train_state, make_train_step
+
+CFGS = [[3, 1, 16, 0, 0, 1], [3, 4, 24, 0, 0, 2], [5, 3, 40, 1, 0, 2],
+        [5, 6, 96, 1, 1, 2]]
+B, H, W, C = 4, 64, 64, 5
+M = 2
+N_MIN = (B // M) * H * W // 16
+OPT = dict(lr0=1e-2, max_iter=50, warmup_steps=5)
+
+
+def _model_and_batch():
+    model = CABiNet(n_classes=C, mode="small", cfgs=CFGS)
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(0, C, (B, H, W)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H, W, 3)), train=True)
+    # Host copies: the fused trainer donates its TrainState, so each run
+    # must start from buffers it cannot delete from under the other.
+    return model, jax.device_get(variables), images, labels
+
+
+def _fused_reference(model, variables, images, labels, max_grad_norm):
+    tx = build_optimizer(variables["params"], max_grad_norm=max_grad_norm,
+                         **OPT)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, n_min=N_MIN, accum_steps=M)
+    losses = []
+    mb = B // M
+    for m in range(M):
+        state, loss = step(state, jnp.asarray(images[m * mb:(m + 1) * mb]),
+                           jnp.asarray(labels[m * mb:(m + 1) * mb]))
+        losses.append(float(loss))
+    return state, float(np.mean(losses))
+
+
+def _pipeline_run(model, variables, images, labels, max_grad_norm, dp):
+    meshes = make_pipeline_meshes(n_stages=2, dp=dp)
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M, meshes=meshes,
+        max_grad_norm=max_grad_norm)
+    states = pipe.init_state(variables)
+    states, loss = pipe.train_step(states, images, labels)
+    return pipe, states, float(loss)
+
+
+def _assert_tree_close(a, b, **tol):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert len(fa) == len(fb)
+    for key, leaf in fa:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(fb[jax.tree_util.keystr(key)]),
+                                   err_msg=jax.tree_util.keystr(key), **tol)
+
+
+@pytest.mark.parametrize("max_grad_norm", [1.0, 1e6],
+                         ids=["clip-engaged", "clip-dormant"])
+def test_pipeline_equivalent_to_fused_accum(max_grad_norm):
+    model, variables, images, labels = _model_and_batch()
+    fused, fused_loss = _fused_reference(model, variables, images, labels,
+                                         max_grad_norm)
+    pipe, states, loss = _pipeline_run(model, variables, images, labels,
+                                       max_grad_norm, dp=1)
+
+    merged = pipe.merged_variables(states)
+    _assert_tree_close(merged["params"], jax.device_get(fused.params),
+                       rtol=1e-4, atol=1e-6)
+    _assert_tree_close(merged["batch_stats"],
+                       jax.device_get(fused.batch_stats),
+                       rtol=1e-4, atol=1e-6)
+    ema = pipe.merged_ema_variables(states)
+    _assert_tree_close(ema["params"],
+                       jax.device_get(fused.ema.variables["params"]),
+                       rtol=1e-4, atol=1e-6)
+    assert np.isclose(loss, fused_loss, rtol=1e-4)
+    assert all(int(s.step) == 1 for s in states)
+
+
+@pytest.mark.slow
+def test_pipeline_dp_invariance():
+    """(pp=2, dp=2) over 4 devices == (pp=2, dp=1): the stage-internal data
+    axis (XLA-inserted gradient psums) must not change the update."""
+    model, variables, images, labels = _model_and_batch()
+    pipe1, states1, loss1 = _pipeline_run(model, variables, images, labels,
+                                          1.0, dp=1)
+    pipe2, states2, loss2 = _pipeline_run(model, variables, images, labels,
+                                          1.0, dp=2)
+    _assert_tree_close(pipe1.merged_variables(states1)["params"],
+                       pipe2.merged_variables(states2)["params"],
+                       rtol=1e-4, atol=1e-6)
+    assert np.isclose(loss1, loss2, rtol=1e-4)
+
+
+def test_split_merge_roundtrip():
+    model, variables, _, _ = _model_and_batch()
+    parts = split_variables(variables, CABINET_STAGE_KEYS)
+    assert set(parts[0]["params"]) == {"mobile"}
+    assert set(parts[1]["params"]) == {"sb", "ab", "ffm", "conv_out"}
+    merged = merge_variables(parts)
+    _assert_tree_close(merged["params"], variables["params"], rtol=0, atol=0)
+    _assert_tree_close(merged["batch_stats"], variables["batch_stats"],
+                       rtol=0, atol=0)
+
+
+def test_split_rejects_uncovered_modules():
+    model, variables, _, _ = _model_and_batch()
+    with pytest.raises(ValueError, match="do not cover"):
+        split_variables(variables, (("mobile",), ("sb", "ab", "ffm")))
