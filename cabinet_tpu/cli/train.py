@@ -108,8 +108,7 @@ def train_and_evaluate(cfg) -> dict:
     accum = int(tc.accum_steps)
     max_iter = tc.get("max_iterations") or math.ceil(
         tc.epochs * batches_per_epoch / accum)
-    tx = build_optimizer(
-        variables["params"],
+    opt_kwargs = dict(
         lr0=float(tc.optimizer_lr_start),
         max_iter=int(max_iter),
         momentum=float(tc.optimizer_momentum),
@@ -117,17 +116,71 @@ def train_and_evaluate(cfg) -> dict:
         power=float(tc.optimizer_power),
         warmup_steps=int(tc.warmup_steps),
         warmup_start_lr=float(tc.warmup_start_lr),
-        max_grad_norm=float(tc.max_grad_norm) if tc.get("max_grad_norm") else None,
     )
-    state = create_train_state(variables, tx, ema_decay=float(tc.ema_decay),
-                               ema_tau=float(tc.ema_tau))
-
+    max_gn = float(tc.max_grad_norm) if tc.get("max_grad_norm") else None
     n_min = tc.batch_size * crop_h * crop_w // OHEM_DIVISOR
-    train_step = make_train_step(
-        model.apply, tx, n_min=n_min, thresh=0.7,
-        ignore_label=cfg.dataset.ignore_idx, class_weights=class_weights,
-        accum_steps=accum, compute_dtype=common.compute_dtype_of(cfg))
-    flush_step = make_flush_step(tx)
+
+    # runtime.pipeline=2: pipeline-parallel training (train/pipeline.py) —
+    # backbone | decode stages on device-DISJOINT sub-meshes, one loader
+    # batch per microbatch, accum_steps microbatches per optimizer step
+    # (update-equivalent to the fused trainer, tests/unit/test_pipeline.py).
+    pp_stages = int(cfg.select("runtime.pipeline", 0) or 0)
+    pipe_loop = None
+    state = None
+    if pp_stages:
+        from cabinet_tpu.core.exceptions import ConfigurationError
+        from cabinet_tpu.train.pipeline import (
+            CabinetPipeline,
+            PipelineTrainLoop,
+            make_pipeline_meshes,
+        )
+
+        if pp_stages != 2:
+            raise ConfigurationError(
+                f"runtime.pipeline supports 2 stages (backbone | decode), "
+                f"got {pp_stages}")
+        if int(cfg.select("runtime.model_axis", 1)) > 1 or bool(
+                cfg.select("runtime.spatial_axis", False)):
+            raise ConfigurationError(
+                "runtime.pipeline cannot combine with runtime.model_axis "
+                "or runtime.spatial_axis: pipeline stages own disjoint "
+                "sub-meshes (use runtime.pipeline_dp for intra-stage DP).")
+        from cabinet_tpu.core.mesh import auto_data_axis
+
+        # intra-stage DP must divide the MICROBATCH (= the loader batch)
+        pp_dp = int(cfg.select("runtime.pipeline_dp", 0) or 0)
+        if pp_dp:
+            if int(tc.batch_size) % pp_dp:
+                raise ConfigurationError(
+                    f"runtime.pipeline_dp={pp_dp} must divide the "
+                    f"per-microbatch batch_size ({tc.batch_size})")
+        else:
+            pp_dp = auto_data_axis(int(tc.batch_size),
+                                   max(1, len(jax.devices()) // pp_stages))
+        pipe = CabinetPipeline(
+            model,
+            tx_factory=lambda p: build_optimizer(p, max_grad_norm=None,
+                                                 **opt_kwargs),
+            n_min=n_min, num_microbatches=accum,
+            meshes=make_pipeline_meshes(n_stages=pp_stages, dp=pp_dp),
+            thresh=0.7, ignore_label=cfg.dataset.ignore_idx,
+            class_weights=class_weights,
+            compute_dtype=common.compute_dtype_of(cfg),
+            max_grad_norm=max_gn, ema_decay=float(tc.ema_decay),
+            ema_tau=float(tc.ema_tau))
+        pipe_loop = PipelineTrainLoop(
+            pipe, pipe.init_state(jax.device_get(variables)))
+    else:
+        tx = build_optimizer(variables["params"], max_grad_norm=max_gn,
+                             **opt_kwargs)
+        state = create_train_state(variables, tx,
+                                   ema_decay=float(tc.ema_decay),
+                                   ema_tau=float(tc.ema_tau))
+        train_step = make_train_step(
+            model.apply, tx, n_min=n_min, thresh=0.7,
+            ignore_label=cfg.dataset.ignore_idx, class_weights=class_weights,
+            accum_steps=accum, compute_dtype=common.compute_dtype_of(cfg))
+        flush_step = make_flush_step(tx)
     eval_loss_step = make_eval_loss_step(
         model.apply, n_min=vc.batch_size * crop_h * crop_w // OHEM_DIVISOR,
         thresh=0.7, ignore_label=cfg.dataset.ignore_idx,
@@ -139,41 +192,56 @@ def train_and_evaluate(cfg) -> dict:
     start_epoch, best_miou, best_loss = 0, 0.0, float("inf")
 
     if tc.resume:
-        restored = ckpt.restore_full("checkpoint_last", state)
+        if pipe_loop is not None:
+            restored = ckpt.restore_pipeline_full("checkpoint_last",
+                                                  pipe_loop.states)
+        else:
+            restored = ckpt.restore_full("checkpoint_last", state)
         if restored:
-            state = restored["state"]
+            if pipe_loop is not None:
+                pipe_loop.states = restored["states"]
+            else:
+                state = restored["state"]
             start_epoch = restored["epoch"] + 1
             best_miou = restored["best_miou"]
             best_loss = restored["best_loss"]
             stopper.load_state_dict({
                 "best_fitness": restored["early_stop_best_fitness"],
                 "best_epoch": restored["early_stop_best_epoch"]})
+            step_now = (pipe_loop.step if pipe_loop is not None
+                        else int(state.step))
             logger.info(f"Resumed from epoch {restored['epoch']} "
-                        f"(step {int(state.step)})")
+                        f"(step {step_now})")
 
     # ---- mesh ------------------------------------------------------------
-    from cabinet_tpu.core.mesh import auto_data_axis, shard_model_parallel
-
-    # runtime.model_axis > 1 shards wide layers' channels (tensor
-    # parallelism, core/mesh.py trailing-feature rule) in addition to the
-    # batch on the data axis; 1 (default) is pure DP — the right call for
-    # reference-scale CABiNet, where the model fits in one chip's HBM.
-    n_model = int(cfg.select("runtime.model_axis", 1))
     spatial_axis = bool(cfg.select("runtime.spatial_axis", False))
-    if spatial_axis:
-        # spatial partitioning stripes H, not batch: use every device
-        # regardless of the (possibly 1) batch size
-        default_n_data = len(jax.devices()) // n_model
+    if pipe_loop is not None:
+        # Pipeline stages own their sub-meshes; no global SPMD mesh exists.
+        mesh = None
+        logger.info(f"Pipeline: {pp_stages} stages x dp{pp_dp}; "
+                    f"max_iter={max_iter}; n_min={n_min}; accum={accum}")
     else:
-        default_n_data = auto_data_axis(int(tc.batch_size),
-                                        len(jax.devices()) // n_model)
-    n_data = int(cfg.select("runtime.mesh_data", 0)) or default_n_data
-    mesh = make_mesh(n_data=n_data, n_model=n_model)
-    state = shard_model_parallel(
-        state, mesh,
-        min_features=int(cfg.select("runtime.tp_min_features", 256)))
-    logger.info(f"Mesh: {dict(mesh.shape)}; max_iter={max_iter}; "
-                f"n_min={n_min}; accum={accum}")
+        from cabinet_tpu.core.mesh import auto_data_axis, shard_model_parallel
+
+        # runtime.model_axis > 1 shards wide layers' channels (tensor
+        # parallelism, core/mesh.py trailing-feature rule) in addition to the
+        # batch on the data axis; 1 (default) is pure DP — the right call for
+        # reference-scale CABiNet, where the model fits in one chip's HBM.
+        n_model = int(cfg.select("runtime.model_axis", 1))
+        if spatial_axis:
+            # spatial partitioning stripes H, not batch: use every device
+            # regardless of the (possibly 1) batch size
+            default_n_data = len(jax.devices()) // n_model
+        else:
+            default_n_data = auto_data_axis(int(tc.batch_size),
+                                            len(jax.devices()) // n_model)
+        n_data = int(cfg.select("runtime.mesh_data", 0)) or default_n_data
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        state = shard_model_parallel(
+            state, mesh,
+            min_features=int(cfg.select("runtime.tp_min_features", 256)))
+        logger.info(f"Mesh: {dict(mesh.shape)}; max_iter={max_iter}; "
+                    f"n_min={n_min}; accum={accum}")
 
     evaluator = MscEval(model.apply, n_classes,
                         ignore_label=cfg.dataset.ignore_idx,
@@ -208,6 +276,14 @@ def train_and_evaluate(cfg) -> dict:
     # fused program does warp+crop+photometric+normalize per batch.
     device_augs = getattr(ds_train, "photometric", "host") == "device"
     device_geom = getattr(ds_train, "geometric", "host") == "device"
+    if pipe_loop is not None and (device_augs or device_geom):
+        from cabinet_tpu.core.exceptions import ConfigurationError
+
+        raise ConfigurationError(
+            "runtime.pipeline cannot combine with on-device augmentation "
+            "(runtime.device_augs / runtime.device_geometric): the aug "
+            "program runs on ONE mesh while pipeline stages live on "
+            "disjoint sub-meshes. Use the host augmentation pipeline.")
     if device_geom and spatial_axis:
         from cabinet_tpu.core.exceptions import ConfigurationError
 
@@ -278,25 +354,40 @@ def train_and_evaluate(cfg) -> dict:
             t0 = time.time()
             dl_train.set_epoch(epoch)
             losses = []
+            last_loss = None
             for i, batch in enumerate(dl_train):
-                staged = put(batch)
-                if device_geom:
-                    step_key = jax.random.fold_in(aug_key, int(state.step))
-                    imgs, lbs = apply_device_geom_augs(*staged, step_key)
-                elif device_augs:
-                    step_key = jax.random.fold_in(aug_key, int(state.step))
-                    imgs, lbs = apply_device_augs(*staged, step_key)
+                if pipe_loop is not None:
+                    # one loader batch = one microbatch; the adapter runs a
+                    # pipeline step every accum_steps microbatches
+                    wloss = pipe_loop.feed(batch[0], batch[1])
+                    if wloss is not None:
+                        last_loss = wloss
                 else:
-                    imgs, lbs = staged
-                state, loss = train_step(state, imgs, lbs)
-                if (i + 1) % int(tc.log_iter) == 0:
-                    losses.append(float(loss))
+                    staged = put(batch)
+                    if device_geom:
+                        step_key = jax.random.fold_in(aug_key, int(state.step))
+                        imgs, lbs = apply_device_geom_augs(*staged, step_key)
+                    elif device_augs:
+                        step_key = jax.random.fold_in(aug_key, int(state.step))
+                        imgs, lbs = apply_device_augs(*staged, step_key)
+                    else:
+                        imgs, lbs = staged
+                    state, loss = train_step(state, imgs, lbs)
+                    last_loss = loss
+                if (i + 1) % int(tc.log_iter) == 0 and last_loss is not None:
+                    losses.append(float(last_loss))
                     logger.info(f"epoch {epoch} it {i + 1}/{batches_per_epoch} "
                                 f"loss {losses[-1]:.4f}")
-            state = flush_step(state)  # trailing partial accumulation window
+            # trailing partial accumulation window
+            if pipe_loop is not None:
+                pipe_loop.flush()
+            else:
+                state = flush_step(state)
 
             # Validation loss on raw weights.
-            val_losses = [float(eval_loss_step(state.variables,
+            raw_vars = (pipe_loop.variables if pipe_loop is not None
+                        else state.variables)
+            val_losses = [float(eval_loss_step(raw_vars,
                                                jnp.asarray(im), jnp.asarray(lb)))
                           for im, lb in dl_val]
             val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
@@ -305,14 +396,16 @@ def train_and_evaluate(cfg) -> dict:
             # Per-epoch mIoU on EMA weights (1 scale, no flip).
             fitness = None
             if (epoch + 1) % int(vc.eval_every_n_epochs) == 0:
-                res = evaluator.evaluate(state.ema_variables, dl_val)
+                ema_vars = (pipe_loop.ema_variables if pipe_loop is not None
+                            else state.ema_variables)
+                res = evaluator.evaluate(ema_vars, dl_val)
                 fitness = res["mIoU"]
                 logger.info(f"epoch {epoch}: val_loss {val_loss:.4f} "
                             f"mIoU {fitness:.4f} ({time.time() - t0:.1f}s)")
                 if fitness > best_miou:
                     best_miou = fitness
                     ckpt.save_variables(f"{tc.model_save_name}_best",
-                                        state.ema_variables)
+                                        ema_vars)
 
             # Machine-readable per-epoch metrics (observability analog of
             # the reference's console-only history): one JSON line per
@@ -327,13 +420,19 @@ def train_and_evaluate(cfg) -> dict:
                                        else None),
                         "val_loss": None if np.isnan(val_loss) else val_loss,
                         "mIoU": fitness,
-                        "step": int(state.step),
+                        "step": (pipe_loop.step if pipe_loop is not None
+                                 else int(state.step)),
                         "seconds": round(time.time() - t0, 2),
                     }) + "\n")
 
             should_stop = stopper(epoch, fitness)
-            ckpt.save_full("checkpoint_last", state, epoch, best_miou,
-                           best_loss, stopper.state_dict())
+            if pipe_loop is not None:
+                ckpt.save_pipeline_full("checkpoint_last", pipe_loop.states,
+                                        epoch, best_miou, best_loss,
+                                        stopper.state_dict())
+            else:
+                ckpt.save_full("checkpoint_last", state, epoch, best_miou,
+                               best_loss, stopper.state_dict())
             if should_stop:
                 logger.info(f"Early stopping at epoch {epoch} "
                             f"(best {stopper.best_fitness:.4f} "
@@ -342,7 +441,9 @@ def train_and_evaluate(cfg) -> dict:
     except KeyboardInterrupt:  # graceful final save (reference :569-580)
         logger.info("Interrupted — saving final state.")
 
-    ckpt.save_variables(tc.model_save_name, state.ema_variables)
+    final_ema = (pipe_loop.ema_variables if pipe_loop is not None
+                 else state.ema_variables)
+    ckpt.save_variables(tc.model_save_name, final_ema)
     save_config(cfg, Path(tc.experiments_path) / "config.yaml")
 
     # Final multi-scale eval on EMA weights.
@@ -358,7 +459,7 @@ def train_and_evaluate(cfg) -> dict:
                                            None),
                          tile_batch=common.eval_tile_batch(cfg),
                          acc_dtype=common.eval_acc_dtype(cfg))
-    res = final_eval.evaluate(state.ema_variables, dl_val, progress=True)
+    res = final_eval.evaluate(final_ema, dl_val, progress=True)
     logger.info(f"Final multi-scale mIoU: {res['mIoU']:.4f} "
                 f"acc {res['accuracy']:.4f}")
     results.update(best_miou=best_miou, final=res)

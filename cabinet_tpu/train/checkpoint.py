@@ -104,6 +104,62 @@ class CheckpointManager:
         )
         return {"state": state, **meta}
 
+    # ------------------------------------------------------------- pipeline
+    @staticmethod
+    def _stage_tree(s: Any) -> Dict[str, Any]:
+        return {
+            "params": s.params,
+            "batch_stats": s.batch_stats,
+            "opt_state": s.opt_state,
+            "step": s.step,
+            "ema_variables": s.ema.variables,
+            "ema_updates": s.ema.updates,
+        }
+
+    def save_pipeline_full(self, name: str, states: Any, epoch: int,
+                           best_miou: float, best_loss: float,
+                           stopper_state: Dict[str, Any]) -> Path:
+        """Full checkpoint of a pipeline-parallel run (train/pipeline.py):
+        one sub-tree per StageState, same metadata sidecar as save_full.
+        Shards are written ungathered from each stage's own sub-mesh."""
+        path = self.directory / name
+        tree = {"stages": [self._stage_tree(s) for s in states]}
+        self._ckptr.save(path, _saveable(tree), force=True)
+        self._ckptr.wait_until_finished()
+        meta = {
+            "epoch": int(epoch),
+            "best_miou": float(best_miou),
+            "best_loss": float(best_loss),
+            "early_stop_best_fitness": float(stopper_state["best_fitness"]),
+            "early_stop_best_epoch": int(stopper_state["best_epoch"]),
+            "pipeline_stages": len(states),
+        }
+        (self.directory / f"{name}.meta.json").write_text(json.dumps(meta))
+        return path
+
+    def restore_pipeline_full(self, name: str, states_template: Any
+                              ) -> Optional[Dict[str, Any]]:
+        """Restore per-stage states into live-sharded templates (the
+        templates carry each stage's sub-mesh placement); None if absent."""
+        path = self.directory / name
+        meta_path = self.directory / f"{name}.meta.json"
+        if not path.exists():
+            return None
+        template = {"stages": [self._stage_tree(s) for s in states_template]}
+        tree = self._ckptr.restore(path, template)
+        states = [
+            s.replace(params=t["params"], batch_stats=t["batch_stats"],
+                      opt_state=t["opt_state"], step=t["step"],
+                      ema=s.ema.replace(variables=t["ema_variables"],
+                                        updates=t["ema_updates"]))
+            for s, t in zip(states_template, tree["stages"])
+        ]
+        meta = (json.loads(meta_path.read_text()) if meta_path.exists()
+                else {"epoch": 0, "best_miou": 0.0, "best_loss": float("inf"),
+                      "early_stop_best_fitness": 0.0,
+                      "early_stop_best_epoch": 0})
+        return {"states": states, **meta}
+
     # ------------------------------------------------------------ variables
     def save_variables(self, name: str, variables: Any) -> Path:
         path = self.directory / name

@@ -260,16 +260,23 @@ class CabinetPipeline:
     # -- the step ----------------------------------------------------------
 
     def train_step(self, states: List[StageState], images: np.ndarray,
-                   labels: np.ndarray) -> Tuple[List[StageState], jnp.ndarray]:
+                   labels: np.ndarray, n_micro: Optional[int] = None
+                   ) -> Tuple[List[StageState], jnp.ndarray]:
         """One optimizer step: M microbatches through the 2-stage pipeline.
 
         All device work is dispatched asynchronously; the only host sync is
         JAX's own dispatch. Stage-0 backward for microbatch m is dispatched
         AFTER stage-0 forward for m+1, so stage 0's FIFO never stalls on
         stage 1 (the 1F1B interleave; see module docstring).
+
+        n_micro overrides the window length for a TRAILING PARTIAL window
+        (reference train.py:479-480 flush): the per-microbatch loss scale
+        stays 1/M — matching the fused trainer, whose flush applies the
+        1/accum-scaled partial sum — and the microbatch SHAPE is unchanged
+        (B = n_micro * (full-window mb)), so no program recompiles.
         """
         s0, s1 = states
-        M = self.M
+        M = self.M if n_micro is None else int(n_micro)
         B = images.shape[0]
         if B % M != 0:
             raise ValueError(f"batch {B} not divisible by {M} microbatches")
@@ -339,3 +346,59 @@ class CabinetPipeline:
     def merged_ema_variables(self, states: Sequence[StageState]
                              ) -> Dict[str, Any]:
         return merge_variables([s.ema.variables for s in states])
+
+
+class PipelineTrainLoop:
+    """Loader-batch adapter over CabinetPipeline for the train CLI.
+
+    Contract match with the fused trainer's accumulation loop: one loader
+    batch = one microbatch; ``feed`` buffers microbatches and runs a
+    pipeline step once ``pipe.M`` have arrived (returning the window's mean
+    unscaled microbatch loss, comparable to the fused step's per-microbatch
+    loss), else returns None; ``flush`` applies a trailing partial window
+    with the 1/M loss scale kept, exactly like make_flush_step
+    (reference train.py:479-480).
+    """
+
+    def __init__(self, pipe: CabinetPipeline,
+                 states: List[StageState]) -> None:
+        self.pipe = pipe
+        self.states = states
+        self._imgs: List[np.ndarray] = []
+        self._lbs: List[np.ndarray] = []
+
+    def feed(self, images: Any, labels: Any) -> Optional[float]:
+        self._imgs.append(np.asarray(images))
+        self._lbs.append(np.asarray(labels))
+        if len(self._imgs) < self.pipe.M:
+            return None
+        return self._run_window()
+
+    def flush(self) -> Optional[float]:
+        if not self._imgs:
+            return None
+        return self._run_window()
+
+    def _run_window(self) -> float:
+        n = len(self._imgs)
+        images = np.concatenate(self._imgs)
+        labels = np.concatenate(self._lbs)
+        self._imgs, self._lbs = [], []
+        self.states, loss = self.pipe.train_step(self.states, images, labels,
+                                                 n_micro=n)
+        # train_step returns the sum of 1/M-scaled microbatch losses; the
+        # mean UNSCALED microbatch loss (what the fused step logs) is x M/n.
+        return float(loss) * self.pipe.M / n
+
+    # Surfaces the train CLI reads off the fused TrainState.
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return self.pipe.merged_variables(self.states)
+
+    @property
+    def ema_variables(self) -> Dict[str, Any]:
+        return self.pipe.merged_ema_variables(self.states)
+
+    @property
+    def step(self) -> int:
+        return int(self.states[0].step)

@@ -196,6 +196,67 @@ def test_train_cli_with_device_geometric_shared(tiny_run):
     assert (exp.parent / "exp_dev_geo_sh" / "checkpoint_last").exists()
 
 
+def test_train_cli_pipeline_parallel(tiny_run):
+    """runtime.pipeline=2: the GPipe trainer (train/pipeline.py) behind the
+    CLI — backbone | decode stages on disjoint sub-meshes of the virtual
+    8-device mesh, accum_steps microbatches per optimizer step, per-stage
+    full checkpoint + resume, merged-EMA final artifact consumable by the
+    standalone evaluate CLI."""
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    pexp = exp.parent / "exp_pipeline"
+    pp_overrides = overrides + [
+        "runtime.pipeline=2",
+        "runtime.pipeline_dp=2",
+        "training_config.accum_steps=2",
+        f"training_config.experiments_path={pexp}",
+    ]
+    cfg = compose(CONFIG_DIR, "train", pp_overrides)
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (pexp / "checkpoint_last").exists()
+    assert (pexp / "tiny").exists()
+    meta = json.loads((pexp / "checkpoint_last.meta.json").read_text())
+    assert meta["pipeline_stages"] == 2
+
+    # the merged-EMA artifact feeds the (non-pipeline) evaluate CLI
+    from cabinet_tpu.cli.evaluate import evaluate_checkpoint
+
+    eval_cfg = compose(CONFIG_DIR, "evaluate", TINY_MODEL_OVERRIDES + [
+        "dataset=uavid",
+        "dataset.cropsize=[16,16]",
+        f"checkpoint_path={pexp / 'tiny'}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "validation_config.eval_scales=[1.0]",
+        "validation_config.flip=false",
+    ])
+    assert 0.0 <= evaluate_checkpoint(eval_cfg)["mIoU"] <= 1.0
+
+    # resume restores the per-stage states and continues
+    cfg2 = compose(CONFIG_DIR, "train", pp_overrides + [
+        "training_config.resume=true",
+        "training_config.epochs=3",
+    ])
+    results2 = train_and_evaluate(cfg2)
+    assert np.isfinite(results2["final"]["mIoU"])
+
+
+def test_train_cli_pipeline_rejects_device_augs(tiny_run):
+    from cabinet_tpu.cli.train import train_and_evaluate
+    from cabinet_tpu.core.exceptions import ConfigurationError
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides + [
+        "runtime.pipeline=2",
+        "runtime.device_augs=true",
+        f"training_config.experiments_path={exp.parent / 'exp_pp_bad'}",
+    ])
+    with pytest.raises(ConfigurationError, match="pipeline"):
+        train_and_evaluate(cfg)
+
+
 def _make_cityscapes_tree(root, n=4, size=(24, 24)):
     rng = np.random.default_rng(0)
     for split in ("train", "val"):

@@ -17,11 +17,16 @@ from cabinet_tpu.train.optimizer import build_optimizer
 from cabinet_tpu.train.pipeline import (
     CABINET_STAGE_KEYS,
     CabinetPipeline,
+    PipelineTrainLoop,
     make_pipeline_meshes,
     merge_variables,
     split_variables,
 )
-from cabinet_tpu.train.trainer import create_train_state, make_train_step
+from cabinet_tpu.train.trainer import (
+    create_train_state,
+    make_flush_step,
+    make_train_step,
+)
 
 CFGS = [[3, 1, 16, 0, 0, 1], [3, 4, 24, 0, 0, 2], [5, 3, 40, 1, 0, 2],
         [5, 6, 96, 1, 1, 2]]
@@ -116,6 +121,54 @@ def test_pipeline_dp_invariance():
                        pipe2.merged_variables(states2)["params"],
                        rtol=1e-4, atol=1e-6)
     assert np.isclose(loss1, loss2, rtol=1e-4)
+
+
+def test_pipeline_loop_trailing_flush_matches_fused():
+    """PipelineTrainLoop fed 3 microbatches with M=2 (one full window + a
+    trailing partial) == fused trainer at accum_steps=2 fed the same three
+    + flush_step (reference train.py:479-480 semantics)."""
+    model, variables, images, labels = _model_and_batch()
+    mb = B // M  # fused microbatch size
+    micro = [(images[i * mb:(i + 1) * mb], labels[i * mb:(i + 1) * mb])
+             for i in range(M)]
+    extra_im = images[:mb][::-1].copy()
+    extra_lb = labels[:mb][::-1].copy()
+    micro.append((extra_im, extra_lb))
+
+    # fused reference: 3 microbatch steps + trailing flush
+    tx = build_optimizer(variables["params"], max_grad_norm=1.0, **OPT)
+    fused = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, n_min=N_MIN, accum_steps=M)
+    flush = make_flush_step(tx)
+    fused_losses = []
+    for im, lb in micro:
+        fused, loss = step(fused, jnp.asarray(im), jnp.asarray(lb))
+        fused_losses.append(float(loss))
+    fused = flush(fused)
+
+    # pipeline adapter fed the same microbatches
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M,
+        meshes=make_pipeline_meshes(n_stages=2, dp=1), max_grad_norm=1.0)
+    loop = PipelineTrainLoop(pipe, pipe.init_state(variables))
+    window_losses = [loop.feed(im, lb) for im, lb in micro]
+    assert window_losses[0] is None  # mid-window buffers, no step yet
+    assert window_losses[1] is not None
+    assert window_losses[2] is None  # trailing microbatch buffered
+    flush_loss = loop.flush()
+    assert flush_loss is not None and np.isfinite(flush_loss)
+    assert loop.flush() is None  # empty buffer is a no-op
+    assert loop.step == 2  # one windowed step + one flush step
+
+    # window loss is the mean unscaled microbatch loss of its window
+    assert np.isclose(window_losses[1], np.mean(fused_losses[:2]), rtol=1e-4)
+    _assert_tree_close(loop.variables["params"],
+                       jax.device_get(fused.params), rtol=1e-4, atol=1e-6)
+    _assert_tree_close(loop.ema_variables["params"],
+                       jax.device_get(fused.ema.variables["params"]),
+                       rtol=1e-4, atol=1e-6)
 
 
 def test_split_merge_roundtrip():
