@@ -174,12 +174,36 @@ class CheckpointManager:
         return self._ckptr.restore(path, template)
 
 
+def _metadata_zeros_template(ckptr: Any, path: Path) -> Any:
+    """Host zeros-tree matching a saved checkpoint's structure/shapes/dtypes
+    (from orbax metadata — no template needed from the caller)."""
+    tree = ckptr.metadata(path).item_metadata.tree
+    return jax.tree_util.tree_map(
+        lambda m: np.zeros(m.shape, np.dtype(m.dtype)), tree)
+
+
 def load_any_checkpoint(path: Union[str, Path], template: Any) -> Any:
-    """Load variables from either an orbax dir or a torch .pth
-    (consumers accept both kinds, reference evaluate.py:259-267)."""
+    """Load MODEL VARIABLES from an orbax dir or a torch .pth. Like the
+    reference's consumers (evaluate.py:259-267), orbax dirs may be either a
+    plain variables artifact (best/final) or a FULL train checkpoint —
+    ``checkpoint_last`` from the fused trainer (raw params/batch_stats
+    extracted, matching the reference's ``model_state`` preference) or from
+    the pipeline trainer (per-stage sub-trees merged)."""
     path = Path(path)
     if path.is_dir():
-        return ocp.StandardCheckpointer().restore(path.resolve(), template)
+        ckptr = ocp.StandardCheckpointer()
+        meta_tree = ckptr.metadata(path.resolve()).item_metadata.tree
+        top = set(meta_tree) if isinstance(meta_tree, dict) else set()
+        if "stages" in top or "opt_state" in top:
+            full = ckptr.restore(path.resolve(),
+                                 _metadata_zeros_template(ckptr, path.resolve()))
+            stages = full["stages"] if "stages" in top else [full]
+            merged: Dict[str, Any] = {}
+            for st in stages:
+                for coll in ("params", "batch_stats"):
+                    merged.setdefault(coll, {}).update(st[coll])
+            return merged
+        return ckptr.restore(path.resolve(), template)
     if path.suffix in (".pth", ".pt"):
         from cabinet_tpu.models.mobilenetv3 import default_cfgs
         from cabinet_tpu.utils.torch_convert import load_torch_checkpoint, torch_to_flax

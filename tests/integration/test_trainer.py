@@ -199,6 +199,54 @@ def test_checkpoint_roundtrip_continues_identically(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_any_checkpoint_accepts_full_checkpoints(tmp_path):
+    """Consumers accept FULL train checkpoints, not only variables artifacts
+    (reference evaluate.py:259-267 loads either a raw state_dict or a full
+    checkpoint's model_state): load_any_checkpoint extracts the raw
+    params/batch_stats from a fused checkpoint_last, and merges per-stage
+    sub-trees from a pipeline one."""
+    from types import SimpleNamespace
+
+    from cabinet_tpu.train.checkpoint import load_any_checkpoint
+
+    _, tx, state, step = setup(accum_steps=1)
+    imgs, lbs = batch(0)
+    state, _ = step(state, imgs, lbs)
+    stopper = {"best_fitness": 0.0, "best_epoch": 0}
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_full("checkpoint_last", state, 0, 0.0, 1.0, stopper)
+    template = jax.tree_util.tree_map(np.zeros_like,
+                                      jax.device_get(state.variables))
+    loaded = load_any_checkpoint(tmp_path / "checkpoint_last", template)
+    assert set(loaded) >= {"params", "batch_stats"}
+    for a, b in zip(jax.tree_util.tree_leaves(loaded["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pipeline-kind full checkpoint: two stage sub-trees merge back
+    host = jax.device_get(state.variables)
+    parts = ({"params": {k: host["params"][k]
+                         for k in ("mobile_conv", "bn")},
+              "batch_stats": {"bn": host["batch_stats"]["bn"]}},
+             {"params": {k: host["params"][k] for k in ("head", "aux_head")},
+              "batch_stats": {}})
+    stages = [SimpleNamespace(params=p["params"],
+                              batch_stats=p["batch_stats"],
+                              opt_state={"dummy": np.zeros(2)},
+                              step=np.int32(1),
+                              ema=SimpleNamespace(variables=p,
+                                                  updates=np.int32(1)))
+              for p in parts]
+    mgr.save_pipeline_full("pp_last", stages, 0, 0.0, 1.0, stopper)
+    merged = load_any_checkpoint(tmp_path / "pp_last", template)
+    assert set(merged["params"]) == set(host["params"])
+    for k in host["params"]:
+        for a, b in zip(jax.tree_util.tree_leaves(merged["params"][k]),
+                        jax.tree_util.tree_leaves(host["params"][k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_train_step_matches_single_device():
     """DP over the 8-device CPU mesh == single-device, same batch."""
     from cabinet_tpu.core.mesh import batch_sharding, make_mesh, replicate
