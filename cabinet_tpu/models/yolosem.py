@@ -124,42 +124,69 @@ class SPPF(nn.Module):
 
 
 class YOLOSem(nn.Module):
-    """Semantic segmentation YOLO. Input (B,H,W,3) -> (logits, aux) at (H,W)."""
+    """Semantic segmentation YOLO. Input (B,H,W,3) -> (logits, aux) at (H,W).
+
+    setup-style with an explicit backbone | decode split (attribute names
+    keep the original parameter tree bit-identical) so the pipeline-parallel
+    trainer (train/pipeline.py) can place the CSP trunk and the FPN+heads on
+    device-disjoint stages — the deep variants are PP's motivating case.
+    """
 
     n_classes: int
     variant: str = "n"
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def setup(self) -> None:
         if self.variant not in YOLOSEM_VARIANTS:
             raise ValueError(f"Unknown YOLO-sem variant: {self.variant}")
         d, w, mc, deep = YOLOSEM_VARIANTS[self.variant]
-        H, W = x.shape[1:3]
-        C = lambda c: _ch(w, c, mc)
-        N = lambda n: _depth(d, n)
+        C = lambda c: _ch(w, c, mc)  # noqa: E731
+        N = lambda n: _depth(d, n)  # noqa: E731
 
         # Backbone ------------------------------------------------------
-        x1 = ConvBNSiLU(C(64), 3, 2, dtype=self.dtype, name="stem")(x, train)
-        x2 = ConvBNSiLU(C(128), 3, 2, dtype=self.dtype, name="down2")(x1, train)
-        x2 = C2f(C(128), N(3), dtype=self.dtype, name="c2f_2")(x2, train)   # /4
-        x3 = ConvBNSiLU(C(256), 3, 2, dtype=self.dtype, name="down3")(x2, train)
-        x3 = C2f(C(256), N(6), dtype=self.dtype, name="c2f_3")(x3, train)   # /8  P3
-        x4 = ConvBNSiLU(C(512), 3, 2, dtype=self.dtype, name="down4")(x3, train)
-        x4 = C2f(C(512), N(6), dtype=self.dtype, name="c2f_4")(x4, train)   # /16 P4
-        x5 = ConvBNSiLU(C(1024), 3, 2, dtype=self.dtype, name="down5")(x4, train)
+        self.stem = ConvBNSiLU(C(64), 3, 2, dtype=self.dtype)
+        self.down2 = ConvBNSiLU(C(128), 3, 2, dtype=self.dtype)
+        self.c2f_2 = C2f(C(128), N(3), dtype=self.dtype)              # /4
+        self.down3 = ConvBNSiLU(C(256), 3, 2, dtype=self.dtype)
+        self.c2f_3 = C2f(C(256), N(6), dtype=self.dtype)              # /8  P3
+        self.down4 = ConvBNSiLU(C(512), 3, 2, dtype=self.dtype)
+        self.c2f_4 = C2f(C(512), N(6), dtype=self.dtype)              # /16 P4
+        self.down5 = ConvBNSiLU(C(1024), 3, 2, dtype=self.dtype)
         # `deep` extra repeats at /32: params are cheap in FLOPs here
-        x5 = C2f(C(1024), N(3) + deep, dtype=self.dtype, name="c2f_5")(x5, train)  # /32
-        x5 = SPPF(C(1024), dtype=self.dtype, name="sppf")(x5, train)        # P5
+        self.c2f_5 = C2f(C(1024), N(3) + deep, dtype=self.dtype)      # /32
+        self.sppf = SPPF(C(1024), dtype=self.dtype)                   # P5
 
-        # PAN-FPN top-down ------------------------------------------------
+        # PAN-FPN top-down + heads ---------------------------------------
+        self.fpn_4 = C2f(C(512), N(3), shortcut=False, dtype=self.dtype)
+        self.fpn_3 = C2f(C(256), N(3), shortcut=False, dtype=self.dtype)
+        self.head0 = ConvBNSiLU(C(256), 1, dtype=self.dtype)
+        self.head1 = ConvBNSiLU(C(256), 3, dtype=self.dtype)
+        self.head2 = ConvBNSiLU(C(256), 3, dtype=self.dtype)
+        self.classifier = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype)
+        self.aux1 = ConvBNSiLU(C(256), 3, dtype=self.dtype)
+        self.aux_classifier = nn.Conv(self.n_classes, (1, 1),
+                                      dtype=self.dtype)
+
+    def backbone(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """CSP trunk: image -> (P3 /8, P4 /16, P5 /32) feature pyramid."""
+        x1 = self.stem(x, train)
+        x2 = self.c2f_2(self.down2(x1, train), train)
+        x3 = self.c2f_3(self.down3(x2, train), train)
+        x4 = self.c2f_4(self.down4(x3, train), train)
+        x5 = self.sppf(self.c2f_5(self.down5(x4, train), train), train)
+        return x3, x4, x5
+
+    def decode(self, x: jnp.ndarray, feats: Tuple[jnp.ndarray, ...],
+               train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """PAN-FPN neck + dense heads; `x` supplies only the output (H, W)."""
+        x3, x4, x5 = feats
+        H, W = x.shape[1:3]
+
         p5_up = resize_bilinear(x5, x4.shape[1:3])
-        p4 = C2f(C(512), N(3), shortcut=False, dtype=self.dtype,
-                 name="fpn_4")(jnp.concatenate([p5_up, x4], -1), train)
+        p4 = self.fpn_4(jnp.concatenate([p5_up, x4], -1), train)
         p4_up = resize_bilinear(p4, x3.shape[1:3])
-        p3 = C2f(C(256), N(3), shortcut=False, dtype=self.dtype,
-                 name="fpn_3")(jnp.concatenate([p4_up, x3], -1), train)
+        p3 = self.fpn_3(jnp.concatenate([p4_up, x3], -1), train)
 
         # Semantic head: fuse P3 + up(P4) + up(P5) at /8, 1x1-reduce the
         # wide concat BEFORE the 3x3s (a 3x3 straight off the concat costs
@@ -169,19 +196,18 @@ class YOLOSem(nn.Module):
             resize_bilinear(p4, p3.shape[1:3]),
             resize_bilinear(x5, p3.shape[1:3]),
         ], axis=-1)
-        h = ConvBNSiLU(C(256), 1, dtype=self.dtype, name="head0")(fused, train)
-        h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head1")(h, train)
-        h = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="head2")(h, train)
-        logits = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
-                         name="classifier")(h)
+        h = self.head2(self.head1(self.head0(fused, train), train), train)
+        logits = self.classifier(h)
 
-        aux = ConvBNSiLU(C(256), 3, dtype=self.dtype, name="aux1")(p4, train)
-        aux = nn.Conv(self.n_classes, (1, 1), dtype=self.dtype,
-                      name="aux_classifier")(aux)
+        aux = self.aux_classifier(self.aux1(p4, train))
 
         logits = resize_bilinear(logits, (H, W))
         aux = resize_bilinear(aux, (H, W))
         return logits, aux
+
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.decode(x, self.backbone(x, train), train)
 
 
 def build_yolosem(n_classes: int, model_name: str = "yolo26n-sem",

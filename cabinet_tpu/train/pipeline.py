@@ -53,6 +53,16 @@ CABINET_STAGE_KEYS: Tuple[Tuple[str, ...], ...] = (
     ("sb", "ab", "ffm", "conv_out"),
 )
 
+# Stage partition of YOLO-sem (models/yolosem.py setup): CSP trunk | PAN-FPN
+# neck + heads. The inter-stage activation is the (P3, P4, P5) pyramid; the
+# raw image rides to stage 1 as data (decode reads only its H, W).
+YOLOSEM_STAGE_KEYS: Tuple[Tuple[str, ...], ...] = (
+    ("stem", "down2", "c2f_2", "down3", "c2f_3", "down4", "c2f_4",
+     "down5", "c2f_5", "sppf"),
+    ("fpn_4", "fpn_3", "head0", "head1", "head2", "classifier",
+     "aux1", "aux_classifier"),
+)
+
 
 def split_variables(variables: Dict[str, Any],
                     stage_keys: Sequence[Sequence[str]]) -> List[Dict[str, Any]]:
@@ -117,6 +127,24 @@ def _decode_method(module, x, feat, train):
     return module._decode(x, feat, train)
 
 
+def _yolosem_backbone_method(module, x, train):
+    return module.backbone(x, train)
+
+
+def _yolosem_decode_method(module, x, feat, train):
+    return module.decode(x, feat, train)
+
+
+YOLOSEM_STAGE_METHODS = (_yolosem_backbone_method, _yolosem_decode_method)
+
+
+def _put_batch(tree: Any, mesh: Any) -> Any:
+    """device_put every leaf batch-sharded on its own ndim (inter-stage
+    activations may be pytrees, e.g. YOLO's (P3, P4, P5) pyramid)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim)), tree)
+
+
 class CabinetPipeline:
     """Two-stage GPipe trainer for CABiNet over device-disjoint meshes.
 
@@ -143,11 +171,17 @@ class CabinetPipeline:
         max_grad_norm: Optional[float] = None,
         ema_decay: float = 0.9999,
         ema_tau: float = 2000.0,
+        stage_keys: Sequence[Sequence[str]] = CABINET_STAGE_KEYS,
+        stage_methods: Optional[Tuple[Callable, Callable]] = None,
     ) -> None:
         if len(meshes) != 2:
             raise ValueError("CabinetPipeline is a 2-stage pipeline: "
                              f"got {len(meshes)} meshes")
         self.model = model
+        self.stage_keys = tuple(tuple(k) for k in stage_keys)
+        backbone_method, decode_method = (
+            stage_methods if stage_methods is not None
+            else (_backbone_method, _decode_method))
         self.tx_factory = tx_factory
         self.meshes = list(meshes)
         self.M = int(num_microbatches)
@@ -172,14 +206,14 @@ class CabinetPipeline:
             feat, mut = model.apply(
                 {"params": params, "batch_stats": stats},
                 x.astype(compute_dtype), train=True,
-                method=_backbone_method, mutable=["batch_stats"])
+                method=backbone_method, mutable=["batch_stats"])
             return feat, mut["batch_stats"]
 
         def loss1(params, stats, x, feat, labels):
             (final, aux), mut = model.apply(
                 {"params": params, "batch_stats": stats},
                 x.astype(compute_dtype), feat, train=True,
-                method=_decode_method, mutable=["batch_stats"])
+                method=decode_method, mutable=["batch_stats"])
             loss = seg_loss(final, labels) + aux_weight * seg_loss(aux, labels)
             return loss / M, mut["batch_stats"]
 
@@ -192,7 +226,7 @@ class CabinetPipeline:
                 feat, _ = model.apply(
                     {"params": p, "batch_stats": stats},
                     x.astype(compute_dtype), train=True,
-                    method=_backbone_method, mutable=["batch_stats"])
+                    method=backbone_method, mutable=["batch_stats"])
                 return feat
 
             _, vjp = jax.vjp(f, params)
@@ -216,7 +250,7 @@ class CabinetPipeline:
     def init_state(self, variables: Dict[str, Any]) -> List[StageState]:
         """Split full-model variables into per-stage states on their meshes
         and build each stage's optimizer + jitted update program."""
-        parts = split_variables(variables, CABINET_STAGE_KEYS)
+        parts = split_variables(variables, self.stage_keys)
         self._txs, self._update_fns, states = [], [], []
         for part, mesh in zip(parts, self.meshes):
             params = part["params"]
@@ -307,14 +341,12 @@ class CabinetPipeline:
             y_m = jax.device_put(labels[lo:lo + mb], sh1y)
 
             feat, stats0 = self._fwd0(p0, stats0, x0_m)
-            feat1 = jax.device_put(feat, batch_sharding(mesh1, feat.ndim))
+            feat1 = _put_batch(feat, mesh1)
             (loss_m, stats1), (g1, g_feat) = self._vg1(
                 p1, stats1, x1_m, feat1, y_m)
             g1_acc = self._acc(g1_acc, g1)
             losses.append(loss_m)
-            pending.append(
-                (x0_m, jax.device_put(g_feat,
-                                      batch_sharding(mesh0, g_feat.ndim))))
+            pending.append((x0_m, _put_batch(g_feat, mesh0)))
             if m >= 1:
                 drain_one()
         while pending:

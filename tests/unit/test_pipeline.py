@@ -16,6 +16,8 @@ from cabinet_tpu.models import CABiNet
 from cabinet_tpu.train.optimizer import build_optimizer
 from cabinet_tpu.train.pipeline import (
     CABINET_STAGE_KEYS,
+    YOLOSEM_STAGE_KEYS,
+    YOLOSEM_STAGE_METHODS,
     CabinetPipeline,
     PipelineTrainLoop,
     make_pipeline_meshes,
@@ -169,6 +171,48 @@ def test_pipeline_loop_trailing_flush_matches_fused():
     _assert_tree_close(loop.ema_variables["params"],
                        jax.device_get(fused.ema.variables["params"]),
                        rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_yolosem_equivalent_to_fused():
+    """The second model family pipelines too: YOLO-sem's CSP trunk | FPN+heads
+    split (pytree inter-stage activations — the (P3, P4, P5) pyramid) matches
+    the fused trainer under the YOLO recipe's plain-CE loss."""
+    from cabinet_tpu.models.yolosem import YOLOSem
+
+    model = YOLOSem(n_classes=C, variant="n")
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(0, C, (B, H, W)).astype(np.int32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, H, W, 3)), train=True))
+
+    tx = build_optimizer(variables["params"], max_grad_norm=1.0, **OPT)
+    fused = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, n_min=N_MIN, accum_steps=M,
+                           loss_type="ce")
+    mb = B // M
+    for m in range(M):
+        fused, _ = step(fused, jnp.asarray(images[m * mb:(m + 1) * mb]),
+                        jnp.asarray(labels[m * mb:(m + 1) * mb]))
+
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M,
+        meshes=make_pipeline_meshes(n_stages=2, dp=1),
+        loss_type="ce", max_grad_norm=1.0,
+        stage_keys=YOLOSEM_STAGE_KEYS, stage_methods=YOLOSEM_STAGE_METHODS)
+    states = pipe.init_state(variables)
+    assert set(states[0].params) == set(YOLOSEM_STAGE_KEYS[0])
+    states, loss = pipe.train_step(states, images, labels)
+
+    merged = pipe.merged_variables(states)
+    _assert_tree_close(merged["params"], jax.device_get(fused.params),
+                       rtol=1e-4, atol=1e-6)
+    _assert_tree_close(merged["batch_stats"],
+                       jax.device_get(fused.batch_stats),
+                       rtol=1e-4, atol=1e-6)
+    assert np.isfinite(float(loss))
 
 
 def test_split_merge_roundtrip():
