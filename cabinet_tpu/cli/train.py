@@ -139,6 +139,13 @@ def train_and_evaluate(cfg) -> dict:
             raise ConfigurationError(
                 f"runtime.pipeline supports 2 stages (backbone | decode), "
                 f"got {pp_stages}")
+        if jax.process_count() > 1:
+            raise ConfigurationError(
+                "runtime.pipeline is single-host: make_pipeline_meshes "
+                "partitions the global device list into contiguous stage "
+                "sub-meshes and train_step device_puts host-local arrays, "
+                "neither of which is multi-process-aware. Use DP/TP/SP for "
+                "multi-host training.")
         if int(cfg.select("runtime.model_axis", 1)) > 1 or bool(
                 cfg.select("runtime.spatial_axis", False)):
             raise ConfigurationError(
@@ -276,14 +283,6 @@ def train_and_evaluate(cfg) -> dict:
     # fused program does warp+crop+photometric+normalize per batch.
     device_augs = getattr(ds_train, "photometric", "host") == "device"
     device_geom = getattr(ds_train, "geometric", "host") == "device"
-    if pipe_loop is not None and (device_augs or device_geom):
-        from cabinet_tpu.core.exceptions import ConfigurationError
-
-        raise ConfigurationError(
-            "runtime.pipeline cannot combine with on-device augmentation "
-            "(runtime.device_augs / runtime.device_geometric): the aug "
-            "program runs on ONE mesh while pipeline stages live on "
-            "disjoint sub-meshes. Use the host augmentation pipeline.")
     if device_geom and spatial_axis:
         from cabinet_tpu.core.exceptions import ConfigurationError
 
@@ -329,6 +328,15 @@ def train_and_evaluate(cfg) -> dict:
 
         aug_key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
+        # Pipeline x device-aug composition: the aug program runs on STAGE
+        # 0's sub-mesh (train/pipeline.py train_step_micro) — the warped
+        # batch feeds stage 0 and rides to stage 1 as data, exactly like
+        # the raw image does on the host path.
+        if pipe_loop is not None:
+            pipe_loop.pipe.aug_fn = (apply_device_geom_augs if device_geom
+                                     else apply_device_augs)
+            pipe_loop.aug_key = aug_key
+
     # Run delimiter for metrics.jsonl: resumed/re-run trainings append to
     # the same file, so every line carries a per-run id and each run opens
     # with a marker line — consumers can split runs instead of
@@ -358,8 +366,9 @@ def train_and_evaluate(cfg) -> dict:
             for i, batch in enumerate(dl_train):
                 if pipe_loop is not None:
                     # one loader batch = one microbatch; the adapter runs a
-                    # pipeline step every accum_steps microbatches
-                    wloss = pipe_loop.feed(batch[0], batch[1])
+                    # pipeline step every accum_steps microbatches (raw
+                    # 3-tuple batches when device_geometric is on)
+                    wloss = pipe_loop.feed(*batch)
                     if wloss is not None:
                         last_loss = wloss
                 else:
@@ -378,6 +387,9 @@ def train_and_evaluate(cfg) -> dict:
                     losses.append(float(last_loss))
                     logger.info(f"epoch {epoch} it {i + 1}/{batches_per_epoch} "
                                 f"loss {losses[-1]:.4f}")
+                    # don't re-log/re-sample a stale window loss at the next
+                    # log point if no pipeline window completed in between
+                    last_loss = None
             # trailing partial accumulation window
             if pipe_loop is not None:
                 pipe_loop.flush()

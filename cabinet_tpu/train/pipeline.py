@@ -76,7 +76,8 @@ def split_variables(variables: Dict[str, Any],
                 part[coll] = sub
         parts.append(part)
     seen = [k for keys in stage_keys for k in keys]
-    missing = [k for k in variables.get("params", {}) if k not in seen]
+    missing = sorted({f"{coll}/{k}" for coll, tree in variables.items()
+                      for k in tree if k not in seen})
     if missing:
         raise ValueError(f"stage_keys do not cover modules: {missing}")
     return parts
@@ -173,6 +174,7 @@ class CabinetPipeline:
         ema_tau: float = 2000.0,
         stage_keys: Sequence[Sequence[str]] = CABINET_STAGE_KEYS,
         stage_methods: Optional[Tuple[Callable, Callable]] = None,
+        aug_fn: Optional[Callable] = None,
     ) -> None:
         if len(meshes) != 2:
             raise ValueError("CabinetPipeline is a 2-stage pipeline: "
@@ -185,6 +187,12 @@ class CabinetPipeline:
         self.tx_factory = tx_factory
         self.meshes = list(meshes)
         self.M = int(num_microbatches)
+        # On-device augmentation composed with the pipeline (VERDICT r4 #2):
+        # aug_fn(*raw_microbatch, key) -> (images, labels), jit-compiled,
+        # executed on STAGE 0's sub-mesh (its inputs are device_put there);
+        # the warped batch feeds stage 0 directly and rides to stage 1 as
+        # data alongside the labels (one ICI hop, same as the activations).
+        self.aug_fn = aug_fn
         self.max_grad_norm = max_grad_norm
         self.ema_decay, self.ema_tau = ema_decay, ema_tau
         self._txs: List[Any] = []
@@ -298,27 +306,42 @@ class CabinetPipeline:
                    ) -> Tuple[List[StageState], jnp.ndarray]:
         """One optimizer step: M microbatches through the 2-stage pipeline.
 
-        All device work is dispatched asynchronously; the only host sync is
-        JAX's own dispatch. Stage-0 backward for microbatch m is dispatched
-        AFTER stage-0 forward for m+1, so stage 0's FIFO never stalls on
-        stage 1 (the 1F1B interleave; see module docstring).
-
         n_micro overrides the window length for a TRAILING PARTIAL window
         (reference train.py:479-480 flush): the per-microbatch loss scale
         stays 1/M — matching the fused trainer, whose flush applies the
         1/accum-scaled partial sum — and the microbatch SHAPE is unchanged
         (B = n_micro * (full-window mb)), so no program recompiles.
         """
-        s0, s1 = states
         M = self.M if n_micro is None else int(n_micro)
         B = images.shape[0]
         if B % M != 0:
             raise ValueError(f"batch {B} not divisible by {M} microbatches")
         mb = B // M
+        micro = [(images[m * mb:(m + 1) * mb], labels[m * mb:(m + 1) * mb])
+                 for m in range(M)]
+        return self.train_step_micro(states, micro)
+
+    def train_step_micro(self, states: List[StageState],
+                         microbatches: Sequence[Tuple],
+                         ) -> Tuple[List[StageState], jnp.ndarray]:
+        """One optimizer step over an explicit list of microbatches.
+
+        Each element is (images, labels) host/device arrays — or, when the
+        pipeline was built with aug_fn, the RAW augmentation operands plus a
+        PRNG key (e.g. (canvas, label_canvas, hw, key) for the on-device
+        geometric recipe, ops/geometric.py): the operands are device_put
+        batch-sharded onto stage 0's mesh and aug_fn runs there, so the
+        host ships undecoded canvases exactly like the fused trainer's
+        device-aug path (cli/train.py) and the pipeline never concatenates
+        loader batches (the list IS the window).
+
+        All device work is dispatched asynchronously; the only host sync is
+        JAX's own dispatch. Stage-0 backward for microbatch m is dispatched
+        AFTER stage-0 forward for m+1, so stage 0's FIFO never stalls on
+        stage 1 (the 1F1B interleave; see module docstring).
+        """
+        s0, s1 = states
         mesh0, mesh1 = self.meshes
-        sh0 = batch_sharding(mesh0, images.ndim)
-        sh1x = batch_sharding(mesh1, images.ndim)
-        sh1y = batch_sharding(mesh1, labels.ndim)
 
         p0, stats0 = s0.params, s0.batch_stats
         p1, stats1 = s1.params, s1.batch_stats
@@ -333,12 +356,22 @@ class CabinetPipeline:
             g0 = self._bwd0(p0, stats0, x0_m, gf0)
             g0_acc = self._acc(g0_acc, g0)
 
-        for m in range(M):
-            lo = m * mb
-            x_m = images[lo:lo + mb]
-            x0_m = jax.device_put(x_m, sh0)
-            x1_m = jax.device_put(x_m, sh1x)
-            y_m = jax.device_put(labels[lo:lo + mb], sh1y)
+        for m, batch in enumerate(microbatches):
+            if self.aug_fn is not None:
+                *raw, key = batch
+                staged = [jax.device_put(a, batch_sharding(
+                    mesh0, np.ndim(a))) for a in raw]
+                x0_m, y0_m = self.aug_fn(*staged, key)
+                # warped batch rides to stage 1 as data (spatial branch /
+                # decode read the image; loss reads the labels)
+                x1_m = jax.device_put(x0_m, batch_sharding(mesh1, x0_m.ndim))
+                y_m = jax.device_put(y0_m, batch_sharding(mesh1, y0_m.ndim))
+            else:
+                x_m, lb_m = batch
+                x0_m = jax.device_put(x_m, batch_sharding(mesh0, np.ndim(x_m)))
+                x1_m = jax.device_put(x_m, batch_sharding(mesh1, np.ndim(x_m)))
+                y_m = jax.device_put(lb_m,
+                                     batch_sharding(mesh1, np.ndim(lb_m)))
 
             feat, stats0 = self._fwd0(p0, stats0, x0_m)
             feat1 = _put_batch(feat, mesh1)
@@ -384,43 +417,54 @@ class PipelineTrainLoop:
     """Loader-batch adapter over CabinetPipeline for the train CLI.
 
     Contract match with the fused trainer's accumulation loop: one loader
-    batch = one microbatch; ``feed`` buffers microbatches and runs a
-    pipeline step once ``pipe.M`` have arrived (returning the window's mean
-    unscaled microbatch loss, comparable to the fused step's per-microbatch
-    loss), else returns None; ``flush`` applies a trailing partial window
-    with the 1/M loss scale kept, exactly like make_flush_step
-    (reference train.py:479-480).
+    batch = one microbatch; ``feed`` buffers microbatches (as a LIST — no
+    concatenate/re-slice round trip) and runs a pipeline step once
+    ``pipe.M`` have arrived (returning the window's mean unscaled
+    microbatch loss, comparable to the fused step's per-microbatch loss),
+    else returns None; ``flush`` applies a trailing partial window with the
+    1/M loss scale kept, exactly like make_flush_step (reference
+    train.py:479-480).
+
+    When the pipeline carries an aug_fn (on-device augmentation), ``feed``
+    takes the loader's RAW batch tuple (e.g. (canvas, label_canvas, hw))
+    and appends a per-microbatch PRNG key — folded from ``aug_key`` by a
+    monotone microbatch counter, so every microbatch in a window draws
+    fresh augmentation parameters.
     """
 
-    def __init__(self, pipe: CabinetPipeline,
-                 states: List[StageState]) -> None:
+    def __init__(self, pipe: CabinetPipeline, states: List[StageState],
+                 aug_key: Optional[jax.Array] = None) -> None:
         self.pipe = pipe
         self.states = states
-        self._imgs: List[np.ndarray] = []
-        self._lbs: List[np.ndarray] = []
+        self.aug_key = aug_key
+        self._micro: List[Tuple] = []
+        self._mb_seen = 0
 
-    def feed(self, images: Any, labels: Any) -> Optional[float]:
-        self._imgs.append(np.asarray(images))
-        self._lbs.append(np.asarray(labels))
-        if len(self._imgs) < self.pipe.M:
+    def feed(self, *batch: Any) -> Optional[float]:
+        if self.pipe.aug_fn is not None:
+            if self.aug_key is None:
+                raise ValueError("pipeline has aug_fn but no aug_key was "
+                                 "given to PipelineTrainLoop")
+            key = jax.random.fold_in(self.aug_key, self._mb_seen)
+            self._micro.append(tuple(np.asarray(a) for a in batch) + (key,))
+        else:
+            self._micro.append((np.asarray(batch[0]), np.asarray(batch[1])))
+        self._mb_seen += 1
+        if len(self._micro) < self.pipe.M:
             return None
         return self._run_window()
 
     def flush(self) -> Optional[float]:
-        if not self._imgs:
+        if not self._micro:
             return None
         return self._run_window()
 
     def _run_window(self) -> float:
-        n = len(self._imgs)
-        images = np.concatenate(self._imgs)
-        labels = np.concatenate(self._lbs)
-        self._imgs, self._lbs = [], []
-        self.states, loss = self.pipe.train_step(self.states, images, labels,
-                                                 n_micro=n)
+        micro, self._micro = self._micro, []
+        self.states, loss = self.pipe.train_step_micro(self.states, micro)
         # train_step returns the sum of 1/M-scaled microbatch losses; the
         # mean UNSCALED microbatch loss (what the fused step logs) is x M/n.
-        return float(loss) * self.pipe.M / n
+        return float(loss) * self.pipe.M / len(micro)
 
     # Surfaces the train CLI reads off the fused TrainState.
     @property

@@ -243,18 +243,41 @@ def test_train_cli_pipeline_parallel(tiny_run):
     assert np.isfinite(results2["final"]["mIoU"])
 
 
-def test_train_cli_pipeline_rejects_device_augs(tiny_run):
+def test_train_cli_pipeline_with_device_augs(tiny_run):
+    """runtime.pipeline=2 composes with on-device augmentation (was a hard
+    error until r5): the photometric program runs on stage 0's sub-mesh and
+    the warped batch rides to stage 1 as data (train_step_micro)."""
     from cabinet_tpu.cli.train import train_and_evaluate
-    from cabinet_tpu.core.exceptions import ConfigurationError
 
     _, exp, overrides = tiny_run
     cfg = compose(CONFIG_DIR, "train", overrides + [
         "runtime.pipeline=2",
         "runtime.device_augs=true",
-        f"training_config.experiments_path={exp.parent / 'exp_pp_bad'}",
+        "training_config.accum_steps=2",
+        f"training_config.experiments_path={exp.parent / 'exp_pp_aug'}",
+        "training_config.epochs=1",
     ])
-    with pytest.raises(ConfigurationError, match="pipeline"):
-        train_and_evaluate(cfg)
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+
+
+def test_train_cli_pipeline_with_device_geometric(tiny_run):
+    """runtime.pipeline=2 + runtime.device_geometric=true: the host ships
+    raw u8 canvases + (h, w); the FULL aug recipe (warp/crop + photometric)
+    runs on stage 0's mesh inside the pipeline window."""
+    from cabinet_tpu.cli.train import train_and_evaluate
+
+    _, exp, overrides = tiny_run
+    cfg = compose(CONFIG_DIR, "train", overrides + [
+        "runtime.pipeline=2",
+        "runtime.device_geometric=true",
+        "training_config.accum_steps=2",
+        f"training_config.experiments_path={exp.parent / 'exp_pp_geo'}",
+        "training_config.epochs=1",
+    ])
+    results = train_and_evaluate(cfg)
+    assert np.isfinite(results["final"]["mIoU"])
+    assert (exp.parent / "exp_pp_geo" / "checkpoint_last").exists()
 
 
 def _make_cityscapes_tree(root, n=4, size=(24, 24)):

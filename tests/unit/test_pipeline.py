@@ -230,3 +230,78 @@ def test_split_rejects_uncovered_modules():
     model, variables, _, _ = _model_and_batch()
     with pytest.raises(ValueError, match="do not cover"):
         split_variables(variables, (("mobile",), ("sb", "ab", "ffm")))
+
+
+def test_pipeline_device_aug_equivalent_to_fused():
+    """Pipeline built with aug_fn == fused trainer fed the PRE-augmented
+    microbatches: the aug program runs on stage 0's mesh, its output feeds
+    stage 0 and rides to stage 1 as data. The raw microbatch here is the
+    3-operand (canvas, label_canvas, hw) tuple of the device-geometric
+    loader contract (cli/train.py), exercising multi-operand routing."""
+    model, variables, images, labels = _model_and_batch()
+
+    # raw canvases: the aug crops the top-left (H, W) window and rescales —
+    # deterministic (key unused), so the fused side can see identical data.
+    S = H + 16
+    rng = np.random.default_rng(3)
+    canvas = rng.integers(0, 256, (B, S, S, 3)).astype(np.uint8)
+    lbl_canvas = np.full((B, S, S), 255, np.uint8)
+    lbl_canvas[:, :H, :W] = labels
+    hw = np.tile(np.asarray([[H, W]], np.int32), (B, 1))
+
+    def aug(cv, lc, hw_, key):
+        del hw_, key
+        return (cv[:, :H, :W].astype(jnp.float32) / 255.0,
+                lc[:, :H, :W].astype(jnp.int32))
+
+    pre_im = canvas[:, :H, :W].astype(np.float32) / 255.0
+    fused, fused_loss = _fused_reference(model, variables, pre_im,
+                                         labels, 1.0)
+
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M,
+        meshes=make_pipeline_meshes(n_stages=2, dp=2), max_grad_norm=1.0,
+        aug_fn=jax.jit(aug))
+    loop = PipelineTrainLoop(pipe, pipe.init_state(variables),
+                             aug_key=jax.random.PRNGKey(0))
+    mb = B // M
+    wlosses = [loop.feed(canvas[m * mb:(m + 1) * mb],
+                         lbl_canvas[m * mb:(m + 1) * mb],
+                         hw[:mb]) for m in range(M)]
+    assert wlosses[0] is None and wlosses[1] is not None
+
+    _assert_tree_close(loop.variables["params"],
+                       jax.device_get(fused.params), rtol=1e-4, atol=1e-6)
+    _assert_tree_close(loop.ema_variables["params"],
+                       jax.device_get(fused.ema.variables["params"]),
+                       rtol=1e-4, atol=1e-6)
+    assert np.isclose(wlosses[1], fused_loss, rtol=1e-4)
+
+
+def test_pipeline_aug_requires_key():
+    model, variables, *_ = _model_and_batch()
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M,
+        meshes=make_pipeline_meshes(n_stages=2, dp=1),
+        aug_fn=lambda im, lb, key: (im, lb))
+    loop = PipelineTrainLoop(pipe, pipe.init_state(variables))  # no aug_key
+    with pytest.raises(ValueError, match="aug_key"):
+        loop.feed(np.zeros((2, H, W, 3), np.float32),
+                  np.zeros((2, H, W), np.int32))
+
+
+def test_split_rejects_module_only_in_batch_stats():
+    """Coverage is validated across ALL collections, not just params: a
+    module present only in batch_stats must not be silently dropped."""
+    variables = {"params": {"mobile": {"w": jnp.zeros(2)},
+                            "sb": {"w": jnp.zeros(2)},
+                            "ab": {"w": jnp.zeros(2)},
+                            "ffm": {"w": jnp.zeros(2)},
+                            "conv_out": {"w": jnp.zeros(2)}},
+                 "batch_stats": {"orphan": {"mean": jnp.zeros(2)}}}
+    with pytest.raises(ValueError, match="orphan"):
+        split_variables(variables, CABINET_STAGE_KEYS)
