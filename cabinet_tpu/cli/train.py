@@ -222,11 +222,24 @@ def train_and_evaluate(cfg) -> dict:
 
     # ---- mesh ------------------------------------------------------------
     spatial_axis = bool(cfg.select("runtime.spatial_axis", False))
+    pp_eval_mesh = None
+    pp_tp_min = int(cfg.select("runtime.tp_min_features", 256))
     if pipe_loop is not None:
-        # Pipeline stages own their sub-meshes; no global SPMD mesh exists.
+        # Pipeline stages own their sub-meshes; no global SPMD mesh exists
+        # for TRAINING. Eval/val-loss run on a global mesh instead: stage
+        # variables merge onto it device-to-device (never a host gather —
+        # train/pipeline.py merged_variables_on), replicated by default or
+        # TP-sharded when runtime.eval_model_axis > 1 (model-sharded eval
+        # for models whose merged weights outgrow one device).
+        from cabinet_tpu.core.mesh import make_mesh as _make_mesh
+
         mesh = None
+        eval_tp = int(cfg.select("runtime.eval_model_axis", 1))
+        pp_eval_mesh = _make_mesh(
+            n_data=max(1, len(jax.devices()) // eval_tp), n_model=eval_tp)
         logger.info(f"Pipeline: {pp_stages} stages x dp{pp_dp}; "
-                    f"max_iter={max_iter}; n_min={n_min}; accum={accum}")
+                    f"max_iter={max_iter}; n_min={n_min}; accum={accum}; "
+                    f"eval mesh {dict(pp_eval_mesh.shape)}")
     else:
         from cabinet_tpu.core.mesh import auto_data_axis, shard_model_parallel
 
@@ -254,7 +267,8 @@ def train_and_evaluate(cfg) -> dict:
                         ignore_label=cfg.dataset.ignore_idx,
                         scales=(1.0,), flip=False, cropsize=max(crop_h, crop_w),
                         compute_dtype=common.compute_dtype_of(cfg),
-                        tile_mesh=common.eval_tile_mesh(cfg, mesh),
+                        tile_mesh=common.eval_tile_mesh(cfg, pp_eval_mesh
+                                                        or mesh),
                         pad_to=common.eval_pad_to(cfg),
                         tile_batch=common.eval_tile_batch(cfg),
                         acc_dtype=common.eval_acc_dtype(cfg))
@@ -396,9 +410,12 @@ def train_and_evaluate(cfg) -> dict:
             else:
                 state = flush_step(state)
 
-            # Validation loss on raw weights.
-            raw_vars = (pipe_loop.variables if pipe_loop is not None
-                        else state.variables)
+            # Validation loss on raw weights (pipeline: stage variables
+            # merged onto the eval mesh over ICI — no host gather).
+            raw_vars = (pipe_loop.pipe.merged_variables_on(
+                            pipe_loop.states, pp_eval_mesh,
+                            tp_min_features=pp_tp_min)
+                        if pipe_loop is not None else state.variables)
             val_losses = [float(eval_loss_step(raw_vars,
                                                jnp.asarray(im), jnp.asarray(lb)))
                           for im, lb in dl_val]
@@ -408,7 +425,10 @@ def train_and_evaluate(cfg) -> dict:
             # Per-epoch mIoU on EMA weights (1 scale, no flip).
             fitness = None
             if (epoch + 1) % int(vc.eval_every_n_epochs) == 0:
-                ema_vars = (pipe_loop.ema_variables if pipe_loop is not None
+                ema_vars = (pipe_loop.pipe.merged_variables_on(
+                                pipe_loop.states, pp_eval_mesh, ema=True,
+                                tp_min_features=pp_tp_min)
+                            if pipe_loop is not None
                             else state.ema_variables)
                 res = evaluator.evaluate(ema_vars, dl_val)
                 fitness = res["mIoU"]

@@ -102,9 +102,16 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
     path: each scan step folds a GROUP of this device's tiles into one
     model forward (pad tiles carry weight 0 so their probabilities vanish),
     and the per-device accumulator runs in `acc_dtype`.
+
+    MODEL-SHARDED COMPOSITION: the shard_map is PARTIAL-MANUAL — only the
+    data axis is manual (axis_names={DATA_AXIS}); every other mesh axis
+    stays auto, so variables arriving TP-sharded over the model axis
+    (core/mesh.py shard_model_parallel) keep that sharding inside the
+    worker and GSPMD partitions the convs/matmuls + inserts the ICI
+    collectives. Tiles stream over 'data' while the forward itself runs
+    sharded over 'model' — eval for models that outgrow one device.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     from cabinet_tpu.core.mesh import DATA_AXIS
 
@@ -128,8 +135,14 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
     grid_p[:len(grid)] = grid
 
     def worker(grid_local, wt_local, variables, image):
-        prob0 = jnp.zeros((B, full_h, full_w, n_classes), acc_dtype)
-        count0 = jnp.zeros((full_h, full_w), jnp.float32)
+        # zeros are device-invariant; the scan carry becomes data-varying
+        # after the first accumulation, so mark them varying up front
+        # (check_vma tracks per-axis variance in partial-manual mode)
+        prob0 = jax.lax.pcast(
+            jnp.zeros((B, full_h, full_w, n_classes), acc_dtype),
+            (DATA_AXIS,), to="varying")
+        count0 = jax.lax.pcast(jnp.zeros((full_h, full_w), jnp.float32),
+                               (DATA_AXIS,), to="varying")
         ones = jnp.ones((crop, crop), jnp.float32)
         steps = grid_local.shape[0] // group
         grid_g = grid_local.reshape(steps, group, 2)
@@ -165,15 +178,30 @@ def _sliding_probs_tile_sharded(apply_fn: ApplyFn, n_classes: int, crop: int,
 
         (prob, count), _ = jax.lax.scan(body, (prob0, count0),
                                         (grid_g, wt_g))
-        return (jax.lax.psum(prob, DATA_AXIS),
-                jax.lax.psum(count, DATA_AXIS))
+        # psum in f32 always: XLA:CPU CHECK-fails compiling a bf16 psum in
+        # partial-manual mode ("Invalid binary instruction opcode copy"),
+        # and the once-per-scale cross-device reduce is a rounding-friendly
+        # place to spend f32 anyway (the bf16 acc_dtype win is the per-step
+        # scan-carry HBM traffic, not this one collective).
+        prob = jax.lax.psum(prob.astype(jnp.float32), DATA_AXIS)
+        return prob.astype(acc_dtype), jax.lax.psum(count, DATA_AXIS)
 
-    prob, count = shard_map(
+    sharded_worker = jax.shard_map(
         worker, mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
-    )(jnp.asarray(grid_p), jnp.asarray(weights), variables, image)
+        # partial-manual: 'model' stays auto, so TP-sharded variables keep
+        # their GSPMD placement inside the worker (check_vma must stay on —
+        # P() out_specs are rejected in partial-manual mode without it, and
+        # both outputs are psum-reduced so the check passes)
+        axis_names={DATA_AXIS},
+    )
+    # The jit wrapper matters only on the EAGER path (tests): op-by-op
+    # execution compiles a standalone bf16-psum program that hits an XLA:CPU
+    # CHECK failure ("Invalid binary instruction opcode copy"); one fused
+    # program avoids it. Under MscEval's jitted programs this is inlined.
+    prob, count = jax.jit(sharded_worker)(
+        jnp.asarray(grid_p), jnp.asarray(weights), variables, image)
 
     prob = prob / jnp.maximum(count, 1.0).astype(acc_dtype)[None, :, :, None]
     if (full_h, full_w) != (H, W):
@@ -521,12 +549,26 @@ class MscEval:
     def _prepare_variables(self, variables: Any) -> Any:
         """Tile-sharded programs span the whole mesh; variables committed to
         a single device (e.g. fresh from a same-process training run or an
-        orbax restore) must be replicated onto it first. No-op on
-        already-replicated or host arrays."""
+        orbax restore) must be replicated onto it first. Variables ALREADY
+        placed on this mesh — replicated, or TP-sharded over the model axis
+        by core/mesh.py shard_model_parallel — pass through untouched, so
+        model-sharded eval keeps its placement (the partial-manual
+        shard_map leaves non-data axes to GSPMD)."""
         if self.tile_mesh is None:
             return variables
+        from jax.sharding import NamedSharding
+
         from cabinet_tpu.core.mesh import replicate
 
+        leaves = jax.tree_util.tree_leaves(variables)
+        mesh_devs = self.tile_mesh.devices
+        if leaves and all(
+                isinstance(getattr(leaf, "sharding", None), NamedSharding)
+                and np.array_equal(
+                    np.asarray(leaf.sharding.mesh.devices).ravel(),
+                    np.asarray(mesh_devs).ravel())
+                for leaf in leaves):
+            return variables
         return replicate(variables, self.tile_mesh)
 
     def evaluate_batch(self, variables: Any, images: np.ndarray,

@@ -412,6 +412,43 @@ class CabinetPipeline:
                              ) -> Dict[str, Any]:
         return merge_variables([s.ema.variables for s in states])
 
+    def merged_variables_on(self, states: Sequence[StageState], mesh: Any,
+                            ema: bool = False, tp_min_features: int = 0,
+                            ) -> Dict[str, Any]:
+        """Merge stage variables ONTO a device mesh — device-to-device
+        (ICI) transfers straight to the target sharding, never a host
+        gather (merge_variables jax.device_get's every leaf; for the
+        models PP exists for, the merged tree may not even fit one
+        device's HBM, let alone make the per-epoch host round trip).
+
+        tp_min_features > 0 places each leaf by core/mesh.py
+        tensor_parallel_spec (model-axis channel sharding) so per-epoch
+        eval runs TENSOR-PARALLEL on `mesh`; 0 replicates.
+        """
+        from jax.sharding import NamedSharding
+
+        from cabinet_tpu.core.mesh import MODEL_AXIS, tensor_parallel_spec
+
+        n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
+
+        def place(leaf):
+            if tp_min_features and n_model > 1:
+                spec = tensor_parallel_spec(np.shape(leaf), n_model,
+                                            tp_min_features)
+            else:
+                spec = P()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        merged: Dict[str, Any] = {}
+        for s in states:
+            part = s.ema.variables if ema else {"params": s.params,
+                                                "batch_stats": s.batch_stats}
+            for coll, tree in part.items():
+                merged.setdefault(coll, {}).update(
+                    {k: jax.tree_util.tree_map(place, v)
+                     for k, v in tree.items()})
+        return merged
+
 
 class PipelineTrainLoop:
     """Loader-batch adapter over CabinetPipeline for the train CLI.

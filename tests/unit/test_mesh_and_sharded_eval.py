@@ -312,3 +312,99 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         lb3 = jax.device_put(jnp.asarray(labels), batch_sharding(mesh, 3))
         _, loss_straight = step(st, im3, lb3)
         assert float(loss_resumed) == float(loss_straight)
+
+
+@needs_8
+def test_model_sharded_eval_matches_replicated():
+    """Model-sharded (TP) EVAL on a (4,2) mesh: variables arrive sharded
+    over the model axis (shard_model_parallel), tiles stream over the data
+    axis — the partial-manual shard_map leaves 'model' to GSPMD. The
+    histogram must be bit-equal to the replicated-params tile-sharded run
+    (the math is unchanged; only placement moves)."""
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.models import CABiNet
+
+    cfgs = [[3, 1, 16, 0, 0, 1], [3, 4, 24, 0, 0, 2], [5, 3, 40, 1, 0, 2],
+            [5, 6, 96, 1, 1, 2]]
+    model = CABiNet(n_classes=5, mode="small", cfgs=cfgs)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 64, 64, 3)),
+                                          train=False))
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(1, 80, 72, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, (1, 80, 72)).astype(np.int64)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    ev = MscEval(model.apply, n_classes=5, scales=(1.0,), cropsize=32,
+                 tile_mesh=mesh)
+
+    repl = replicate(variables, mesh)
+    hist_repl = ev.hist_batch(repl, images, labels)
+
+    tp_vars = shard_model_parallel(variables, mesh, min_features=48)
+    specs = [a.sharding.spec
+             for a in jax.tree_util.tree_leaves(tp_vars["params"])]
+    assert any(MODEL_AXIS in tuple(s) for s in specs), \
+        "no param actually sharded over the model axis"
+    # _prepare_variables must NOT clobber the TP placement with replicate
+    prepared = ev._prepare_variables(tp_vars)
+    pspecs = [a.sharding.spec
+              for a in jax.tree_util.tree_leaves(prepared["params"])]
+    assert any(MODEL_AXIS in tuple(s) for s in pspecs)
+
+    hist_tp = ev.hist_batch(tp_vars, images, labels)
+    np.testing.assert_array_equal(hist_repl, hist_tp)
+
+
+@needs_8
+def test_pipeline_merged_variables_on_mesh():
+    """CabinetPipeline.merged_variables_on: stage states merge onto a
+    global mesh device-to-device (replicated or TP-sharded), and the
+    evaluator consumes the TP placement directly — the model-sharded
+    per-epoch eval path of the pipeline trainer."""
+    from cabinet_tpu.eval.evaluator import MscEval
+    from cabinet_tpu.models import CABiNet
+    from cabinet_tpu.train.optimizer import build_optimizer
+    from cabinet_tpu.train.pipeline import CabinetPipeline, make_pipeline_meshes
+
+    cfgs = [[3, 1, 16, 0, 0, 1], [3, 4, 24, 0, 0, 2], [5, 3, 40, 1, 0, 2],
+            [5, 6, 96, 1, 1, 2]]
+    model = CABiNet(n_classes=5, mode="small", cfgs=cfgs)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 64, 64, 3)),
+                                          train=True))
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, lr0=1e-2, max_iter=10,
+                                             max_grad_norm=None),
+        n_min=64, num_microbatches=2,
+        meshes=make_pipeline_meshes(n_stages=2, dp=2), max_grad_norm=1.0)
+    states = pipe.init_state(variables)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    tp_merged = pipe.merged_variables_on(states, mesh, ema=True,
+                                         tp_min_features=48)
+    specs = [a.sharding.spec
+             for a in jax.tree_util.tree_leaves(tp_merged["params"])]
+    assert any(MODEL_AXIS in tuple(s) for s in specs)
+    # every leaf landed on the GLOBAL mesh, none on a stage sub-mesh
+    for leaf in jax.tree_util.tree_leaves(tp_merged):
+        assert np.array_equal(np.asarray(leaf.sharding.mesh.devices).ravel(),
+                              np.asarray(mesh.devices).ravel())
+
+    # content identical to the host merge
+    host = pipe.merged_ema_variables(states)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(tp_merged),
+            jax.tree_util.tree_leaves_with_path(host)):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    # and the evaluator consumes it directly (mIoU finite, placement kept)
+    ev = MscEval(model.apply, n_classes=5, scales=(1.0,), cropsize=32,
+                 tile_mesh=mesh)
+    rng = np.random.default_rng(3)
+    hist = ev.hist_batch(tp_merged,
+                         rng.normal(size=(1, 64, 64, 3)).astype(np.float32),
+                         rng.integers(0, 5, (1, 64, 64)).astype(np.int64))
+    assert hist.sum() == 64 * 64
