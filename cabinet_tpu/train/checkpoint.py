@@ -174,12 +174,22 @@ class CheckpointManager:
         return self._ckptr.restore(path, template)
 
 
-def _metadata_zeros_template(ckptr: Any, path: Path) -> Any:
-    """Host zeros-tree matching a saved checkpoint's structure/shapes/dtypes
-    (from orbax metadata — no template needed from the caller)."""
-    tree = ckptr.metadata(path).item_metadata.tree
-    return jax.tree_util.tree_map(
-        lambda m: np.zeros(m.shape, np.dtype(m.dtype)), tree)
+def _variables_restore_template(meta_tree: Any) -> Any:
+    """Shape-dtype template covering ONLY the model-variable subtrees of a
+    full train checkpoint (params/batch_stats, per stage for pipeline
+    checkpoints). Restoring a full checkpoint through a whole-tree zeros
+    template would materialize opt_state + accum_grads + the EMA shadow
+    (~3-4x the model size) on host just to throw them away; orbax partial
+    restore reads only the requested leaves."""
+    def keep(st: Any) -> Dict[str, Any]:
+        return {coll: jax.tree_util.tree_map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, np.dtype(m.dtype)),
+                    st[coll])
+                for coll in ("params", "batch_stats") if coll in st}
+
+    if isinstance(meta_tree, dict) and "stages" in meta_tree:
+        return {"stages": [keep(st) for st in meta_tree["stages"]]}
+    return keep(meta_tree)
 
 
 def load_any_checkpoint(path: Union[str, Path], template: Any) -> Any:
@@ -195,9 +205,12 @@ def load_any_checkpoint(path: Union[str, Path], template: Any) -> Any:
         meta_tree = ckptr.metadata(path.resolve()).item_metadata.tree
         top = set(meta_tree) if isinstance(meta_tree, dict) else set()
         if "stages" in top or "opt_state" in top:
-            full = ckptr.restore(path.resolve(),
-                                 _metadata_zeros_template(ckptr, path.resolve()))
-            stages = full["stages"] if "stages" in top else [full]
+            ptree = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(
+                path.resolve(),
+                args=ocp.args.PyTreeRestore(
+                    item=_variables_restore_template(meta_tree),
+                    partial_restore=True))
+            stages = ptree["stages"] if "stages" in top else [ptree]
             merged: Dict[str, Any] = {}
             for st in stages:
                 for coll in ("params", "batch_stats"):
