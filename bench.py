@@ -53,6 +53,27 @@ import numpy as np
 BASELINE_IMG_S = 500.0
 K = 9  # chain length (K-1 differenced iterations)
 H = W = 1024
+# TPU v5e bf16 peak (NOTES "FLOP speed-of-light at 197 TFLOPs"). The MFU
+# keys keep the utilization split (infer ~31% vs train ~10%, VERDICT r4
+# weak #3) a recorded, regression-visible number instead of NOTES folklore.
+PEAK_TFLOPS_BF16 = 197.0
+
+
+def _mfu(jitted, args, img_per_s: float, batch: int):
+    """Model FLOPs utilization: XLA cost_analysis FLOPs of the ALREADY-
+    BENCHED program (lowered at the winning operands, so the count matches
+    what ran) x measured rate / peak. Returns None when the backend offers
+    no cost model (e.g. forced-host runs)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float((cost or {}).get("flops", float("nan")))
+    except Exception:
+        return None
+    if not np.isfinite(flops) or flops <= 0:
+        return None
+    return round(flops / batch * img_per_s / (PEAK_TFLOPS_BF16 * 1e12), 4)
 
 
 def _build(dtype=None, remat=False, use_pallas=False, mode="large"):
@@ -132,7 +153,7 @@ def bench_infer(fused: bool, use_pallas: bool = True,
         out = jax.lax.fori_loop(0, k, body, images)
         return jnp.sum(out.astype(jnp.float32))
 
-    best, best_batch = 0.0, 0
+    best, best_batch, best_x = 0.0, 0, None
     for batch in (96, 128):
         x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, 3)),
                         jnp.bfloat16)
@@ -145,7 +166,7 @@ def bench_infer(fused: bool, use_pallas: bool = True,
                    - _min_time(lambda: float(chain(x, 1)))) / (K - 1)
         ips = batch / per_fwd
         if ips > best:
-            best, best_batch = ips, batch
+            best, best_batch, best_x = ips, batch, x
 
     tag = ("fused-tail+int8-branches" if fused == "tail-int8"
            else "int8-PTQ" if fused == "int8"
@@ -158,6 +179,7 @@ def bench_infer(fused: bool, use_pallas: bool = True,
         "value": round(best, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(best / BASELINE_IMG_S, 4),
+        "mfu": _mfu(chain, (best_x, 1), best, best_batch),
     }
 
 
@@ -173,7 +195,7 @@ def bench_train(batches, remat: bool) -> dict:
     model, variables = _build(remat=remat)
 
     results = {}
-    best, best_batch = 0.0, 0
+    best, best_batch, best_prog = 0.0, 0, None
     for batch in batches:
         tx = build_optimizer(variables["params"], lr0=5e-3, max_iter=1000,
                              warmup_steps=10, max_grad_norm=1.0)
@@ -203,6 +225,7 @@ def bench_train(batches, remat: bool) -> dict:
         results[batch] = round(ips, 2)
         if ips > best:
             best, best_batch = ips, batch
+            best_prog = (step, (state0, x, y))
 
     tag = "remat" if remat else "no-remat"
     return {
@@ -211,6 +234,8 @@ def bench_train(batches, remat: bool) -> dict:
         "value": round(best, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(best / BASELINE_IMG_S, 4),
+        "mfu": (_mfu(best_prog[0], best_prog[1], best, best_batch)
+                if best_prog else None),
     }
 
 
@@ -277,6 +302,13 @@ def bench_train_aug(batch: int = 16, shared: bool = True) -> dict:
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(ips / BASELINE_IMG_S, 4),
+        # the lowered program is aug + train step, so this MFU is the
+        # chip's utilization for the WHOLE device-aug training step (the
+        # aug's gather flops are part of the numerator)
+        "mfu": _mfu(aug_and_step,
+                    (state0, canvas, labels, hw,
+                     jax.random.fold_in(jax.random.PRNGKey(0), 0)),
+                    ips, batch),
     }
 
 
