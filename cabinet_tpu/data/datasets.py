@@ -38,6 +38,7 @@ import numpy as np
 from PIL import Image
 
 from cabinet_tpu.core.exceptions import DatasetError
+from cabinet_tpu.data import decode
 from cabinet_tpu.data import transforms as T
 from cabinet_tpu.data.palettes import CITYSCAPES_CLASSES, id_to_trainid_lut, load_labels_info
 
@@ -80,6 +81,9 @@ class FolderSegDataset:
         seed: int = 15,
         photometric: str = "host",
         geometric: str = "host",
+        decoder: str = "pil",
+        reduced_decode: bool = False,
+        decode_cache: Optional[str] = None,
     ) -> None:
         """photometric: "host" applies the full recipe here (PIL, exact
         reference semantics); "device" keeps only the geometric ops on the
@@ -93,7 +97,14 @@ class FolderSegDataset:
         ResizeIfLarger + a memcpy into a fixed (2*max(cropsize))^2 canvas,
         and __getitem__ returns (canvas u8, label canvas u8 ignore-filled,
         (h, w) int32) — the measured cure for the host-PIL train wall
-        (NOTES r3 "Input-pipeline throughput")."""
+        (NOTES r3 "Input-pipeline throughput").
+
+        decoder: "pil" | "cv2" — bit-equal decode backends (data/decode.py
+        carries the A/B table; cv2 is 1.2-1.6x on 4K images). reduced_decode
+        additionally DCT-downscales JPEG sources on the device-geometric
+        canvas path only (the exact-recipe host path keeps full-resolution
+        reference decode semantics). decode_cache: directory memoizing the
+        (deterministic) canvas triples to disk — warm epochs skip decode."""
         if mode not in ("train", "val", "test"):
             raise ValueError(f"Mode '{mode}' not supported. "
                              "Choose 'train', 'val', or 'test'.")
@@ -121,6 +132,20 @@ class FolderSegDataset:
             raise ValueError("geometric='device' ships labels as uint8; "
                              f"ignore_lb={ignore_lb} does not fit")
         self.geometric = geometric if mode == "train" else "host"
+        self.decoder = decode.check_decoder(decoder)
+        if reduced_decode and mode == "train" and self.geometric != "device":
+            raise ValueError(
+                "reduced_decode requires geometric='device' "
+                "(runtime.device_geometric): the exact-recipe host path "
+                "keeps full-resolution reference decode semantics")
+        # eval/val stays exact-protocol: reduced decode is train-only
+        self.reduced_decode = bool(reduced_decode) and self.geometric == "device"
+        self._cache_dir = None
+        if decode_cache and self.geometric == "device":
+            from pathlib import Path
+
+            self._cache_dir = Path(decode_cache) / f"{self.NAME}_{mode}"
+            self._cache_dir.mkdir(parents=True, exist_ok=True)
 
         img_dir = osp.join(rootpth, "images", mode)
         mask_dir = osp.join(rootpth, "masks", mode)
@@ -212,10 +237,8 @@ class FolderSegDataset:
 
     def _load_one(self, idx: int, rng: np.random.Generator) -> Tuple[Array, Array]:
         img_path, mask_path = self.samples[idx]
-        img = Image.open(img_path).convert("RGB")
-        label = Image.open(mask_path)
-        if label.mode != "L":
-            label = label.convert("L")
+        img = decode.open_rgb(img_path, self.decoder)
+        label = decode.open_mask(mask_path, self.decoder)
         if self.trans_train is not None:
             out = self.trans_train({"image": img, "label": label}, rng)
             img, label = out["image"], out["label"]
@@ -226,19 +249,76 @@ class FolderSegDataset:
         remaps raw ids -> trainIds here)."""
         return np.asarray(label, dtype=np.uint8)
 
+    def _lut_sig(self) -> bytes:
+        """Part of the decode-cache key for subclasses whose label decode
+        depends on configuration (CityScapes id->trainId LUT)."""
+        return b""
+
+    def _cache_file(self, idx: int):
+        """Cache path for one canvas triple, keyed on everything that can
+        change its bytes: source file identity (name/mtime/size for both
+        image and mask), canvas geometry, ignore fill, the reduced-decode
+        flag (it changes image pixels), and the label LUT. The DECODER is
+        deliberately excluded — its contract is bit-equality (decode.py,
+        tests/unit/test_decode.py)."""
+        import hashlib
+
+        img_path, mask_path = self.samples[idx]
+        st_i, st_m = os.stat(img_path), os.stat(mask_path)
+        key = hashlib.sha1(repr((
+            osp.basename(img_path), st_i.st_mtime_ns, st_i.st_size,
+            osp.basename(mask_path), st_m.st_mtime_ns, st_m.st_size,
+            self.canvas, self.ignore_lb, self.reduced_decode,
+        )).encode() + self._lut_sig()).hexdigest()[:16]
+        return self._cache_dir / f"{idx:06d}_{key}.npz"
+
     def _load_canvas(self, idx: int, rng: np.random.Generator
                      ) -> Tuple[Array, Array, Array]:
         """geometric='device' host path: decode + ResizeIfLarger + memcpy
         into a fixed canvas. Returns (image (S,S,3) u8, label (S,S) u8
-        ignore-filled outside the valid region, (h, w) int32)."""
+        ignore-filled outside the valid region, (h, w) int32).
+
+        With decode_cache set, the triple is memoized to disk: this path
+        is deterministic (ResizeIfLarger reads no rng — every augmentation
+        lives on the device), so the cache is EXACT, and warm epochs skip
+        the decode wall entirely (measured 246 -> ~20 ms/img on 4K PNG,
+        NOTES r5; the reference has no analog — its loader re-decodes
+        every epoch, reference base_dataset.py __getitem__)."""
+        if self._cache_dir is not None:
+            f = self._cache_file(idx)
+            if f.exists():
+                try:
+                    d = np.load(f)
+                    return d["ci"], d["cl"], d["hw"]
+                except Exception:
+                    pass  # partial/corrupt write: fall through and redo
+            ci, cl, hw = self._decode_canvas(idx, rng)
+            tmp = f.with_name(f.name + f".tmp{os.getpid()}")
+            try:
+                with open(tmp, "wb") as fh:
+                    np.savez(fh, ci=ci, cl=cl, hw=hw)
+                os.replace(tmp, f)  # atomic: loader workers may race
+            except OSError:
+                tmp.unlink(missing_ok=True)  # disk full etc: serve uncached
+            return ci, cl, hw
+        return self._decode_canvas(idx, rng)
+
+    def _decode_canvas(self, idx: int, rng: np.random.Generator
+                       ) -> Tuple[Array, Array, Array]:
         img_path, mask_path = self.samples[idx]
-        img = Image.open(img_path).convert("RGB")
-        label = Image.open(mask_path)
-        if label.mode != "L":
-            label = label.convert("L")
+        img = decode.open_rgb(img_path, self.decoder,
+                              reduce_to=self.canvas if self.reduced_decode
+                              else 0)
+        label = decode.open_mask(mask_path, self.decoder)
         out = self.trans_train({"image": img, "label": label}, rng)
-        arr = np.asarray(out["image"], dtype=np.uint8)
-        lb = self._canvas_label(out["label"])
+        img, label = out["image"], out["label"]
+        if label.size != img.size:
+            # reduced JPEG decode landed the image at/under the cap, so
+            # ResizeIfLarger no-opped; align the label the same way it
+            # would have (NEAREST to the image's size).
+            label = label.resize(img.size, Image.NEAREST)
+        arr = np.asarray(img, dtype=np.uint8)
+        lb = self._canvas_label(label)
         h, w = arr.shape[:2]
         s = self.canvas
         ci = np.zeros((s, s, 3), np.uint8)
@@ -323,6 +403,9 @@ class CityScapes(FolderSegDataset):
         seed: int = 15,
         photometric: str = "host",
         geometric: str = "host",
+        decoder: str = "pil",
+        reduced_decode: bool = False,
+        decode_cache: Optional[str] = None,
     ) -> None:
         if mode not in ("train", "val", "test"):
             raise ValueError(f"Mode '{mode}' not supported.")
@@ -353,6 +436,20 @@ class CityScapes(FolderSegDataset):
         self.mixup_p = 0.0
         self.photometric = photometric
         self.geometric = geometric if mode == "train" else "host"
+        self.decoder = decode.check_decoder(decoder)
+        # Cityscapes ships PNG; reduced (JPEG DCT) decode can never engage,
+        # but the flag is validated the same way for config uniformity.
+        if reduced_decode and mode == "train" and self.geometric != "device":
+            raise ValueError(
+                "reduced_decode requires geometric='device' "
+                "(runtime.device_geometric)")
+        self.reduced_decode = bool(reduced_decode) and self.geometric == "device"
+        self._cache_dir = None
+        if decode_cache and self.geometric == "device":
+            from pathlib import Path
+
+            self._cache_dir = Path(decode_cache) / f"{self.NAME}_{mode}"
+            self._cache_dir.mkdir(parents=True, exist_ok=True)
 
         classes = (load_labels_info(config_file) if config_file
                    else CITYSCAPES_CLASSES)
@@ -425,6 +522,10 @@ class CityScapes(FolderSegDataset):
         raw = np.asarray(label, dtype=np.int64)
         return self._lut[np.clip(raw, 0, 255)].astype(np.uint8)
 
+    def _lut_sig(self) -> bytes:
+        # cached canvases bake the id->trainId remap in; key on the LUT
+        return np.ascontiguousarray(self._lut).tobytes()
+
 
 # ---------------------------------------------------------------------------
 # Registry (reference src/datasets/registry.py:13-50)
@@ -454,6 +555,10 @@ def _aerial_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
         if d.get("augmentation") is not None else None,
         "seed": d.get("seed", 15),
         "photometric": "device" if (device_augs and mode == "train") else "host",
+        "decoder": str(cfg.select("runtime.decoder", "pil")),
+        "reduced_decode": bool(cfg.select("runtime.reduced_decode", False))
+        and mode == "train",
+        "decode_cache": cfg.select("runtime.decode_cache", None) or None,
     }
 
 
@@ -470,6 +575,10 @@ def _cityscapes_kwargs(cfg: Any, mode: str) -> Dict[str, Any]:
         "seed": d.get("seed", 15),
         "geometric": "device" if (device_geom and mode == "train") else "host",
         "photometric": "device" if (device_augs and mode == "train") else "host",
+        "decoder": str(cfg.select("runtime.decoder", "pil")),
+        "reduced_decode": bool(cfg.select("runtime.reduced_decode", False))
+        and mode == "train",
+        "decode_cache": cfg.select("runtime.decode_cache", None) or None,
     }
 
 
