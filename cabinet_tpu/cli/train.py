@@ -137,8 +137,12 @@ def train_and_evaluate(cfg) -> dict:
 
         if pp_stages != 2:
             raise ConfigurationError(
-                f"runtime.pipeline supports 2 stages (backbone | decode), "
-                f"got {pp_stages}")
+                f"runtime.pipeline={pp_stages}: CABiNet pins at 2 stages "
+                "(backbone | decode — stage_keys partition top-level "
+                "modules and its backbone is the single 'mobile' module). "
+                "The engine itself is N-stage: deep trunks use e.g. "
+                "YOLOSEM_STAGE_KEYS_3 (train/pipeline.py), "
+                "equivalence-tested at 3 stages.")
         if jax.process_count() > 1:
             raise ConfigurationError(
                 "runtime.pipeline is single-host: make_pipeline_meshes "

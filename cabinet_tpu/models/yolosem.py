@@ -177,6 +177,24 @@ class YOLOSem(nn.Module):
         x5 = self.sppf(self.c2f_5(self.down5(x4, train), train), train)
         return x3, x4, x5
 
+    def backbone_front(self, x: jnp.ndarray, train: bool = False
+                       ) -> jnp.ndarray:
+        """First half of the trunk (image -> P3) — the 3-stage pipeline cut
+        (train/pipeline.py): backbone == backbone_back(backbone_front(x)),
+        same submodules in the same order, so splitting cannot change
+        numerics or BN-stat updates."""
+        x1 = self.stem(x, train)
+        x2 = self.c2f_2(self.down2(x1, train), train)
+        return self.c2f_3(self.down3(x2, train), train)
+
+    def backbone_back(self, x3: jnp.ndarray, train: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Second half of the trunk (P3 -> full pyramid); P3 passes through
+        so the inter-stage activation IS the decode contract."""
+        x4 = self.c2f_4(self.down4(x3, train), train)
+        x5 = self.sppf(self.c2f_5(self.down5(x4, train), train), train)
+        return x3, x4, x5
+
     def decode(self, x: jnp.ndarray, feats: Tuple[jnp.ndarray, ...],
                train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """PAN-FPN neck + dense heads; `x` supplies only the output (H, W)."""

@@ -22,11 +22,15 @@ Numeric contract (tests/unit/test_pipeline.py): one pipeline step over M
 microbatches is equivalent to the fused trainer (train/trainer.py) run with
 `accum_steps=M` over the same microbatches — same per-microbatch OHEM
 selection (reference train.py:429-435 semantics), same 1/M loss scaling,
-same GLOBAL-norm clip across both stages' gradients (train.py:411-427),
+same GLOBAL-norm clip across ALL stages' gradients (train.py:411-427),
 same once-per-window optimizer/EMA advance, same chained BatchNorm-stat
-updates. Stage-0 activations are rematerialized in its backward (standard
-GPipe checkpointing) — gradients are bit-identical in exact arithmetic and
-agree to float tolerance with the fused single-program step.
+updates. Non-loss-stage activations are rematerialized in their backwards
+(standard GPipe checkpointing) — gradients are bit-identical in exact
+arithmetic and agree to float tolerance with the fused single-program
+step. The engine is N-stage (the equivalence test runs 2-stage CABiNet /
+YOLO and 3-stage YOLO); CABiNet itself pins at 2 because stage_keys
+partition TOP-LEVEL modules and its backbone is the single "mobile"
+module.
 """
 
 from __future__ import annotations
@@ -55,10 +59,22 @@ CABINET_STAGE_KEYS: Tuple[Tuple[str, ...], ...] = (
 
 # Stage partition of YOLO-sem (models/yolosem.py setup): CSP trunk | PAN-FPN
 # neck + heads. The inter-stage activation is the (P3, P4, P5) pyramid; the
-# raw image rides to stage 1 as data (decode reads only its H, W).
+# raw image rides to the loss stage as data (decode reads only its H, W).
 YOLOSEM_STAGE_KEYS: Tuple[Tuple[str, ...], ...] = (
     ("stem", "down2", "c2f_2", "down3", "c2f_3", "down4", "c2f_4",
      "down5", "c2f_5", "sppf"),
+    ("fpn_4", "fpn_3", "head0", "head1", "head2", "classifier",
+     "aux1", "aux_classifier"),
+)
+
+# 3-stage partition: trunk front (image -> P3) | trunk back (P3 -> pyramid)
+# | neck + heads. The deep YOLO26 variants (x: d=1.0 -> 9 c2f_5 bottlenecks)
+# split their sequential trunk naturally here; CABiNet cannot go past 2 —
+# stage_keys partition TOP-LEVEL modules and its whole backbone is the
+# single "mobile" module (models/cabinet.py setup).
+YOLOSEM_STAGE_KEYS_3: Tuple[Tuple[str, ...], ...] = (
+    ("stem", "down2", "c2f_2", "down3", "c2f_3"),
+    ("down4", "c2f_4", "down5", "c2f_5", "sppf"),
     ("fpn_4", "fpn_3", "head0", "head1", "head2", "classifier",
      "aux1", "aux_classifier"),
 )
@@ -136,7 +152,18 @@ def _yolosem_decode_method(module, x, feat, train):
     return module.decode(x, feat, train)
 
 
+def _yolosem_front_method(module, x, train):
+    return module.backbone_front(x, train)
+
+
+def _yolosem_back_method(module, feat, train):
+    # middle-stage signature: (module, feat_in, train) -> feat_out
+    return module.backbone_back(feat, train)
+
+
 YOLOSEM_STAGE_METHODS = (_yolosem_backbone_method, _yolosem_decode_method)
+YOLOSEM_STAGE_METHODS_3 = (_yolosem_front_method, _yolosem_back_method,
+                           _yolosem_decode_method)
 
 
 def _put_batch(tree: Any, mesh: Any) -> Any:
@@ -147,11 +174,21 @@ def _put_batch(tree: Any, mesh: Any) -> Any:
 
 
 class CabinetPipeline:
-    """Two-stage GPipe trainer for CABiNet over device-disjoint meshes.
+    """N-stage GPipe trainer over device-disjoint meshes.
+
+    Stages are (stage_keys, stage_methods) pairs: the FIRST method maps
+    (module, image, train) -> activation pytree, MIDDLE methods map
+    (module, feat_in, train) -> feat_out, and the LAST maps
+    (module, image, feat, train) -> (final, aux) logits — the image rides
+    to the loss stage as data. Defaults to CABiNet's natural 2-way split
+    (backbone | decode — its whole backbone is the single top-level
+    "mobile" module, so 2 is its ceiling); deep sequential trunks go
+    further (YOLOSEM_STAGE_KEYS_3 / YOLOSEM_STAGE_METHODS_3 cut the CSP
+    trunk at P3 for 3 stages).
 
     tx_factory(params_subtree) must build the stage's optimizer WITHOUT
     gradient clipping (pass max_grad_norm=None to train.optimizer helpers);
-    the pipeline applies the reference's GLOBAL-norm clip itself across both
+    the pipeline applies the reference's GLOBAL-norm clip itself across all
     stages' gradients so semantics match the single-program trainer.
     """
 
@@ -173,17 +210,30 @@ class CabinetPipeline:
         ema_decay: float = 0.9999,
         ema_tau: float = 2000.0,
         stage_keys: Sequence[Sequence[str]] = CABINET_STAGE_KEYS,
-        stage_methods: Optional[Tuple[Callable, Callable]] = None,
+        stage_methods: Optional[Sequence[Callable]] = None,
         aug_fn: Optional[Callable] = None,
     ) -> None:
-        if len(meshes) != 2:
-            raise ValueError("CabinetPipeline is a 2-stage pipeline: "
-                             f"got {len(meshes)} meshes")
+        n_stages = len(meshes)
+        if n_stages < 2:
+            raise ValueError(f"pipeline needs >= 2 meshes, got {n_stages}")
         self.model = model
         self.stage_keys = tuple(tuple(k) for k in stage_keys)
-        backbone_method, decode_method = (
-            stage_methods if stage_methods is not None
-            else (_backbone_method, _decode_method))
+        if len(self.stage_keys) != n_stages:
+            raise ValueError(f"{n_stages} meshes but "
+                             f"{len(self.stage_keys)} stage_keys entries")
+        if stage_methods is None:
+            if n_stages != 2:
+                raise ValueError(
+                    "stage_methods is required for n_stages != 2; the "
+                    "default is CABiNet's backbone | decode split, and "
+                    "CABiNet cannot split deeper (stage_keys partition "
+                    "top-level modules; its backbone is one module)")
+            methods: Tuple[Callable, ...] = (_backbone_method, _decode_method)
+        else:
+            methods = tuple(stage_methods)
+            if len(methods) != n_stages:
+                raise ValueError(f"{n_stages} meshes but "
+                                 f"{len(methods)} stage_methods")
         self.tx_factory = tx_factory
         self.meshes = list(meshes)
         self.M = int(num_microbatches)
@@ -210,40 +260,54 @@ class CabinetPipeline:
 
         M = self.M
 
-        def fwd0(params, stats, x):
-            feat, mut = model.apply(
-                {"params": params, "batch_stats": stats},
-                x.astype(compute_dtype), train=True,
-                method=backbone_method, mutable=["batch_stats"])
-            return feat, mut["batch_stats"]
+        def run_stage(method, first, params, stats, a):
+            x = a.astype(compute_dtype) if first else a
+            out, mut = model.apply(
+                {"params": params, "batch_stats": stats}, x,
+                train=True, method=method, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
 
-        def loss1(params, stats, x, feat, labels):
+        def make_fwd(method, first):
+            return jax.jit(lambda params, stats, a:
+                           run_stage(method, first, params, stats, a))
+
+        def make_bwd(method, first):
+            # Non-loss-stage backward rematerializes its forward (GPipe
+            # activation checkpointing): only (params, input, cotangent)
+            # cross the program boundary, never vjp residuals. BN
+            # train-mode outputs do not depend on the running stats, so
+            # any stats snapshot is valid. Stage 0 differentiates only its
+            # params (the image is data); middle stages also return the
+            # cotangent of their activation input to continue the chain.
+            if first:
+                def bwd(params, stats, a, cot):
+                    _, vjp = jax.vjp(
+                        lambda p: run_stage(method, True, p, stats, a)[0],
+                        params)
+                    return vjp(cot)[0]
+            else:
+                def bwd(params, stats, a, cot):
+                    _, vjp = jax.vjp(
+                        lambda p, ai: run_stage(method, False, p, stats,
+                                                ai)[0],
+                        params, a)
+                    return vjp(cot)  # (g_params, g_feat_in)
+            return jax.jit(bwd)
+
+        def loss_last(params, stats, x, feat, labels):
             (final, aux), mut = model.apply(
                 {"params": params, "batch_stats": stats},
                 x.astype(compute_dtype), feat, train=True,
-                method=decode_method, mutable=["batch_stats"])
+                method=methods[-1], mutable=["batch_stats"])
             loss = seg_loss(final, labels) + aux_weight * seg_loss(aux, labels)
             return loss / M, mut["batch_stats"]
 
-        def bwd0(params, stats, x, g_feat):
-            # Stage-0 backward rematerializes its forward (GPipe activation
-            # checkpointing): only (params, x, cotangent) cross the program
-            # boundary, never vjp residuals. BN train-mode outputs do not
-            # depend on the running stats, so any stats snapshot is valid.
-            def f(p):
-                feat, _ = model.apply(
-                    {"params": p, "batch_stats": stats},
-                    x.astype(compute_dtype), train=True,
-                    method=backbone_method, mutable=["batch_stats"])
-                return feat
-
-            _, vjp = jax.vjp(f, params)
-            return vjp(g_feat)[0]
-
-        self._fwd0 = jax.jit(fwd0)
-        self._vg1 = jax.jit(
-            jax.value_and_grad(loss1, argnums=(0, 3), has_aux=True))
-        self._bwd0 = jax.jit(bwd0)
+        self._fwds = [make_fwd(m, i == 0)
+                      for i, m in enumerate(methods[:-1])]
+        self._bwds = [make_bwd(m, i == 0)
+                      for i, m in enumerate(methods[:-1])]
+        self._vg_last = jax.jit(
+            jax.value_and_grad(loss_last, argnums=(0, 3), has_aux=True))
         self._acc = jax.jit(
             lambda acc, g: jax.tree_util.tree_map(jnp.add, acc, g),
             donate_argnums=(0,))
@@ -304,7 +368,7 @@ class CabinetPipeline:
     def train_step(self, states: List[StageState], images: np.ndarray,
                    labels: np.ndarray, n_micro: Optional[int] = None
                    ) -> Tuple[List[StageState], jnp.ndarray]:
-        """One optimizer step: M microbatches through the 2-stage pipeline.
+        """One optimizer step: M microbatches through the stage pipeline.
 
         n_micro overrides the window length for a TRAILING PARTIAL window
         (reference train.py:479-480 flush): the per-microbatch loss scale
@@ -336,70 +400,95 @@ class CabinetPipeline:
         loader batches (the list IS the window).
 
         All device work is dispatched asynchronously; the only host sync is
-        JAX's own dispatch. Stage-0 backward for microbatch m is dispatched
-        AFTER stage-0 forward for m+1, so stage 0's FIFO never stalls on
-        stage 1 (the 1F1B interleave; see module docstring).
+        JAX's own dispatch. Stage i's backward for microbatch m is
+        dispatched after stage i's forward for m + (n_stages-1-i) — deeper
+        stages drain sooner, each stage runs one forward + one backward per
+        iteration in steady state, and no device FIFO ever stalls on
+        another (the 1F1B interleave; see module docstring).
         """
-        s0, s1 = states
-        mesh0, mesh1 = self.meshes
-
-        p0, stats0 = s0.params, s0.batch_stats
-        p1, stats1 = s1.params, s1.batch_stats
-        g0_acc = self._zeros(p0)
-        g1_acc = self._zeros(p1)
+        n = len(self.meshes)
+        params = [s.params for s in states]
+        stats = [s.batch_stats for s in states]
+        accs = [self._zeros(p) for p in params]
         losses = []
-        pending: List[Tuple[Any, Any]] = []  # (x0_m, g_feat on mesh0)
+        # per non-loss stage: forward inputs awaiting their remat backward,
+        # and output-cotangents ready to consume (both keyed by microbatch)
+        inputs: List[Dict[int, Any]] = [{} for _ in range(n - 1)]
+        cots: List[List[Tuple[int, Any]]] = [[] for _ in range(n - 1)]
 
-        def drain_one():
-            x0_m, gf0 = pending.pop(0)
-            nonlocal g0_acc
-            g0 = self._bwd0(p0, stats0, x0_m, gf0)
-            g0_acc = self._acc(g0_acc, g0)
+        def drain(i: int) -> None:
+            m_, cot = cots[i].pop(0)
+            a_in = inputs[i].pop(m_)
+            if i == 0:
+                g = self._bwds[0](params[0], stats[0], a_in, cot)
+            else:
+                g, g_in = self._bwds[i](params[i], stats[i], a_in, cot)
+                cots[i - 1].append((m_, _put_batch(g_in, self.meshes[i - 1])))
+            accs[i] = self._acc(accs[i], g)
 
         for m, batch in enumerate(microbatches):
             if self.aug_fn is not None:
                 *raw, key = batch
                 staged = [jax.device_put(a, batch_sharding(
-                    mesh0, np.ndim(a))) for a in raw]
+                    self.meshes[0], np.ndim(a))) for a in raw]
                 x0_m, y0_m = self.aug_fn(*staged, key)
-                # warped batch rides to stage 1 as data (spatial branch /
-                # decode read the image; loss reads the labels)
-                x1_m = jax.device_put(x0_m, batch_sharding(mesh1, x0_m.ndim))
-                y_m = jax.device_put(y0_m, batch_sharding(mesh1, y0_m.ndim))
+                # warped batch rides to the loss stage as data (spatial
+                # branch / decode read the image; the loss reads labels)
+                x_last = jax.device_put(
+                    x0_m, batch_sharding(self.meshes[-1], x0_m.ndim))
+                y_m = jax.device_put(
+                    y0_m, batch_sharding(self.meshes[-1], y0_m.ndim))
             else:
                 x_m, lb_m = batch
-                x0_m = jax.device_put(x_m, batch_sharding(mesh0, np.ndim(x_m)))
-                x1_m = jax.device_put(x_m, batch_sharding(mesh1, np.ndim(x_m)))
-                y_m = jax.device_put(lb_m,
-                                     batch_sharding(mesh1, np.ndim(lb_m)))
+                x0_m = jax.device_put(
+                    x_m, batch_sharding(self.meshes[0], np.ndim(x_m)))
+                x_last = jax.device_put(
+                    x_m, batch_sharding(self.meshes[-1], np.ndim(x_m)))
+                y_m = jax.device_put(
+                    lb_m, batch_sharding(self.meshes[-1], np.ndim(lb_m)))
 
-            feat, stats0 = self._fwd0(p0, stats0, x0_m)
-            feat1 = _put_batch(feat, mesh1)
-            (loss_m, stats1), (g1, g_feat) = self._vg1(
-                p1, stats1, x1_m, feat1, y_m)
-            g1_acc = self._acc(g1_acc, g1)
+            prev: Any = x0_m
+            inputs[0][m] = x0_m
+            for i in range(n - 1):
+                if i > 0:
+                    prev = _put_batch(prev, self.meshes[i])
+                    inputs[i][m] = prev
+                prev, stats[i] = self._fwds[i](params[i], stats[i], prev)
+            feat_last = _put_batch(prev, self.meshes[-1])
+            (loss_m, stats[-1]), (g_last, g_feat) = self._vg_last(
+                params[-1], stats[-1], x_last, feat_last, y_m)
+            accs[-1] = self._acc(accs[-1], g_last)
             losses.append(loss_m)
-            pending.append((x0_m, _put_batch(g_feat, mesh0)))
-            if m >= 1:
-                drain_one()
-        while pending:
-            drain_one()
+            cots[n - 2].append((m, _put_batch(g_feat, self.meshes[n - 2])))
+            for i in range(n - 2, -1, -1):
+                while cots[i] and cots[i][0][0] <= m - (n - 1 - i):
+                    drain(i)
+        # pipeline flush: ONE reverse-order pass drains everything (stage
+        # i's drain feeds stage i-1's queue before the pass reaches it)
+        for i in range(n - 2, -1, -1):
+            while cots[i]:
+                drain(i)
+        assert not any(inputs), "pipeline flush left undrained backwards"
 
-        # Global-norm clip needs both stages' norms: exchange two scalars
-        # over ICI (no host round trip), then update each stage in place.
-        sq0 = self._sqnorm(g0_acc)
-        sq1 = self._sqnorm(g1_acc)
-        sq0_on1 = jax.device_put(sq0, NamedSharding(mesh1, P()))
-        sq1_on0 = jax.device_put(sq1, NamedSharding(mesh0, P()))
-
-        s0 = self._update_fns[0](s0.replace(batch_stats=stats0), g0_acc,
-                                 sq0, sq1_on0)
-        s1 = self._update_fns[1](s1.replace(batch_stats=stats1), g1_acc,
-                                 sq1, sq0_on1)
+        # Global-norm clip needs the SUM of every stage's squared norm on
+        # every stage's mesh: exchange n-1 scalars per stage over ICI (no
+        # host round trip), then update each stage in place.
+        sqs = [self._sqnorm(a) for a in accs]
+        out: List[StageState] = []
+        for j in range(n):
+            other = None
+            for i in range(n):
+                if i == j:
+                    continue
+                s = jax.device_put(sqs[i], NamedSharding(self.meshes[j], P()))
+                other = s if other is None else other + s
+            out.append(self._update_fns[j](
+                states[j].replace(batch_stats=stats[j]), accs[j],
+                sqs[j], other))
         # Reported loss matches the fused trainer: mean UNSCALED microbatch
         # loss = mean(loss_m * M) = sum of the 1/M-scaled microbatch losses.
         loss = sum(losses)
-        return [s0, s1], loss
+        return out, loss
 
     # -- eval / checkpoint surface ------------------------------------------
 

@@ -215,6 +215,88 @@ def test_pipeline_yolosem_equivalent_to_fused():
     assert np.isfinite(float(loss))
 
 
+def test_pipeline_3stage_yolosem_equivalent_to_fused():
+    """The N-stage generalization (VERDICT r4 next #8): YOLO-sem's trunk
+    cut at P3 gives trunk-front | trunk-back | neck+heads. The 3-stage
+    pipeline must produce the same update as the fused trainer — the middle
+    stage exercises the remat backward that chains activation cotangents
+    (bwd_i returning (g_params, g_feat_in)) and the 3-way global-norm
+    scalar exchange."""
+    from cabinet_tpu.train.pipeline import (
+        YOLOSEM_STAGE_KEYS_3,
+        YOLOSEM_STAGE_METHODS_3,
+    )
+    from cabinet_tpu.models.yolosem import YOLOSem
+
+    model = YOLOSem(n_classes=C, variant="n")
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(0, C, (B, H, W)).astype(np.int32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, H, W, 3)), train=True))
+
+    # the split itself is numerics-neutral: backbone == back(front(x))
+    full = model.apply(variables, jnp.asarray(images), train=False,
+                       method=lambda mod, x, train: mod.backbone(x, train))
+    front = model.apply(variables, jnp.asarray(images), train=False,
+                        method=lambda mod, x, train: mod.backbone_front(
+                            x, train))
+    split = model.apply(variables, front, train=False,
+                        method=lambda mod, f, train: mod.backbone_back(
+                            f, train))
+    for a, b in zip(full, split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tx = build_optimizer(variables["params"], max_grad_norm=1.0, **OPT)
+    fused = create_train_state(variables, tx)
+    step = make_train_step(model.apply, tx, n_min=N_MIN, accum_steps=M,
+                           loss_type="ce")
+    mb = B // M
+    fused_losses = []
+    for m in range(M):
+        fused, loss = step(fused, jnp.asarray(images[m * mb:(m + 1) * mb]),
+                           jnp.asarray(labels[m * mb:(m + 1) * mb]))
+        fused_losses.append(float(loss))
+
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M,
+        meshes=make_pipeline_meshes(n_stages=3, dp=1),
+        loss_type="ce", max_grad_norm=1.0,
+        stage_keys=YOLOSEM_STAGE_KEYS_3,
+        stage_methods=YOLOSEM_STAGE_METHODS_3)
+    states = pipe.init_state(variables)
+    assert set(states[0].params) == set(YOLOSEM_STAGE_KEYS_3[0])
+    assert set(states[1].params) == set(YOLOSEM_STAGE_KEYS_3[1])
+    states, loss = pipe.train_step(states, images, labels)
+
+    merged = pipe.merged_variables(states)
+    _assert_tree_close(merged["params"], jax.device_get(fused.params),
+                       rtol=1e-4, atol=1e-6)
+    _assert_tree_close(merged["batch_stats"],
+                       jax.device_get(fused.batch_stats),
+                       rtol=1e-4, atol=1e-6)
+    ema = pipe.merged_ema_variables(states)
+    _assert_tree_close(ema["params"],
+                       jax.device_get(fused.ema.variables["params"]),
+                       rtol=1e-4, atol=1e-6)
+    assert np.isclose(float(loss), np.mean(fused_losses), rtol=1e-4)
+    assert all(int(s.step) == 1 for s in states)
+
+
+def test_pipeline_requires_methods_beyond_two_stages():
+    model, variables, *_ = _model_and_batch()
+    with pytest.raises(ValueError, match="stage_methods"):
+        CabinetPipeline(
+            model,
+            tx_factory=lambda p: build_optimizer(p, max_grad_norm=None,
+                                                 **OPT),
+            n_min=N_MIN, num_microbatches=M,
+            meshes=make_pipeline_meshes(n_stages=3, dp=1),
+            stage_keys=(("mobile",), ("sb", "ab"), ("ffm", "conv_out")))
+
+
 def test_split_merge_roundtrip():
     model, variables, _, _ = _model_and_batch()
     parts = split_variables(variables, CABINET_STAGE_KEYS)
