@@ -6,7 +6,10 @@ nbs gradient accumulation, one-cycle cosine LR with linear warmup, cls_pw
 class weighting, mosaic/mixup/copy-paste augmentation with close_mosaic, EMA
 best/last checkpoints, patience early stop. Val mode prints mIoU /
 pixel-accuracy / per-class IoU plus a paste-ready metrics.json snippet
-(reference train_yolo.py:243-285).
+(reference train_yolo.py:243-285). runtime.pipeline=2|3 trains
+pipeline-parallel over device-disjoint stage sub-meshes (train/pipeline.py
+N-stage engine; 3 cuts the CSP trunk at P3 — the split the deep yolo26x
+variant wants), composed with runtime.device_augs as the stage-0 aug_fn.
 
 Usage:
     python -m cabinet_tpu.cli.train_yolo dataset=uavid
@@ -178,27 +181,103 @@ def train(cfg) -> dict:
     warmup_steps = math.ceil(float(tc.warmup_epochs) * batches / accum)
     schedule = warmup_cosine_schedule(float(tc.lr0), float(tc.lrf),
                                       total_steps, warmup_steps)
-    tx = build_sgd(variables["params"], schedule,
-                   momentum=float(tc.optimizer_momentum),
-                   wd=float(tc.optimizer_weight_decay),
-                   max_grad_norm=float(tc.max_grad_norm))
-    state = create_train_state(variables, tx, ema_decay=float(tc.ema_decay),
-                               ema_tau=float(tc.ema_tau))
 
-    step = make_train_step(model.apply, tx, n_min=1, loss_type="ce",
-                           aux_weight=0.4,
-                           ignore_label=cfg.dataset.ignore_idx,
-                           class_weights=class_weights, accum_steps=accum,
-                           compute_dtype=common.compute_dtype_of(cfg))
-    flush = make_flush_step(tx)
+    # device photometric chain, shared by the fused and pipeline paths
+    apply_device_augs = aug_key = None
+    if device_augs:
+        from cabinet_tpu.ops.photometric import photometric_pipeline
 
-    from cabinet_tpu.core.mesh import auto_data_axis
+        base_aug["mixup"] = float(aug.get("mixup", 0.1))
 
-    mesh = make_mesh(n_data=int(cfg.select("runtime.mesh_data", 0))
-                     or auto_data_axis(int(tc.batch_size)))
-    state = replicate(state, mesh)
-    logger.info(f"Mesh {dict(mesh.shape)}; accum={accum} "
-                f"total_steps={total_steps}")
+        @jax.jit
+        def apply_device_augs(images, labels, key):
+            return photometric_pipeline(images, labels, key, base_aug,
+                                        mean=base_mean, std=base_std)
+
+        aug_key = jax.random.PRNGKey(cfg.runtime.seed + 11)
+
+    # runtime.pipeline=2|3: pipeline-parallel training over device-disjoint
+    # stage sub-meshes (train/pipeline.py N-stage engine). 2 = trunk |
+    # neck+heads; 3 additionally cuts the CSP trunk at P3 — the split the
+    # deep variants (yolo26x-sem) want, where trunk activations dominate.
+    pp_stages = int(cfg.select("runtime.pipeline", 0) or 0)
+    pipe_loop = state = mesh = None
+    if pp_stages:
+        from cabinet_tpu.core.exceptions import ConfigurationError
+        from cabinet_tpu.core.mesh import auto_data_axis
+        from cabinet_tpu.train.pipeline import (
+            YOLOSEM_STAGE_KEYS,
+            YOLOSEM_STAGE_KEYS_3,
+            YOLOSEM_STAGE_METHODS,
+            YOLOSEM_STAGE_METHODS_3,
+            CabinetPipeline,
+            PipelineTrainLoop,
+            make_pipeline_meshes,
+        )
+
+        if pp_stages not in (2, 3):
+            raise ConfigurationError(
+                f"runtime.pipeline={pp_stages}: YOLO-sem ships 2-stage "
+                "(trunk | neck+heads) and 3-stage (trunk front | trunk "
+                "back | neck+heads) splits")
+        if jax.process_count() > 1:
+            raise ConfigurationError(
+                "runtime.pipeline is single-host (stage sub-meshes "
+                "partition the local device list); use DP for multi-host")
+        keys, methods = (
+            (YOLOSEM_STAGE_KEYS, YOLOSEM_STAGE_METHODS) if pp_stages == 2
+            else (YOLOSEM_STAGE_KEYS_3, YOLOSEM_STAGE_METHODS_3))
+        pp_dp = int(cfg.select("runtime.pipeline_dp", 0) or 0)
+        if pp_dp and int(tc.batch_size) % pp_dp:
+            raise ConfigurationError(
+                f"runtime.pipeline_dp={pp_dp} must divide the "
+                f"per-microbatch batch_size ({tc.batch_size})")
+        if not pp_dp:
+            pp_dp = auto_data_axis(int(tc.batch_size),
+                                   max(1, len(jax.devices()) // pp_stages))
+        pipe = CabinetPipeline(
+            model,
+            tx_factory=lambda p: build_sgd(
+                p, schedule, momentum=float(tc.optimizer_momentum),
+                wd=float(tc.optimizer_weight_decay), max_grad_norm=None),
+            n_min=1, num_microbatches=accum,
+            meshes=make_pipeline_meshes(n_stages=pp_stages, dp=pp_dp),
+            ignore_label=cfg.dataset.ignore_idx,
+            class_weights=class_weights, aux_weight=0.4, loss_type="ce",
+            compute_dtype=common.compute_dtype_of(cfg),
+            max_grad_norm=float(tc.max_grad_norm),
+            ema_decay=float(tc.ema_decay), ema_tau=float(tc.ema_tau),
+            stage_keys=keys, stage_methods=methods,
+            aug_fn=apply_device_augs)
+        pipe_loop = PipelineTrainLoop(
+            pipe, pipe.init_state(jax.device_get(variables)),
+            aug_key=aug_key)
+        logger.info(f"Pipeline: {pp_stages} stages x dp{pp_dp}; "
+                    f"accum={accum} total_steps={total_steps}")
+    else:
+        tx = build_sgd(variables["params"], schedule,
+                       momentum=float(tc.optimizer_momentum),
+                       wd=float(tc.optimizer_weight_decay),
+                       max_grad_norm=float(tc.max_grad_norm))
+        state = create_train_state(variables, tx,
+                                   ema_decay=float(tc.ema_decay),
+                                   ema_tau=float(tc.ema_tau))
+
+        step = make_train_step(model.apply, tx, n_min=1, loss_type="ce",
+                               aux_weight=0.4,
+                               ignore_label=cfg.dataset.ignore_idx,
+                               class_weights=class_weights,
+                               accum_steps=accum,
+                               compute_dtype=common.compute_dtype_of(cfg))
+        flush = make_flush_step(tx)
+
+        from cabinet_tpu.core.mesh import auto_data_axis
+
+        mesh = make_mesh(n_data=int(cfg.select("runtime.mesh_data", 0))
+                         or auto_data_axis(int(tc.batch_size)))
+        state = replicate(state, mesh)
+        logger.info(f"Mesh {dict(mesh.shape)}; accum={accum} "
+                    f"total_steps={total_steps}")
 
     evaluator = YoloEval(model.apply, cfg.dataset.num_classes, imgsz,
                          cfg.dataset.ignore_idx, common.compute_dtype_of(cfg))
@@ -207,9 +286,15 @@ def train(cfg) -> dict:
     best_miou, start_epoch = 0.0, 0
 
     if tc.resume:
-        restored = ckpt.restore_full("last", state)
+        if pipe_loop is not None:
+            restored = ckpt.restore_pipeline_full("last", pipe_loop.states)
+        else:
+            restored = ckpt.restore_full("last", state)
         if restored:
-            state = restored["state"]
+            if pipe_loop is not None:
+                pipe_loop.states = restored["states"]
+            else:
+                state = restored["state"]
             start_epoch = restored["epoch"] + 1
             best_miou = restored["best_miou"]
             stopper.load_state_dict({
@@ -221,19 +306,6 @@ def train(cfg) -> dict:
         return (jax.device_put(imgs, batch_sharding(mesh, 4)),
                 jax.device_put(lbs, batch_sharding(mesh, 3)))
 
-    if device_augs:
-        from cabinet_tpu.ops.photometric import photometric_pipeline
-
-        mixup_p = float(aug.get("mixup", 0.1))
-        base_aug["mixup"] = mixup_p
-
-        @jax.jit
-        def apply_device_augs(images, labels, key):
-            return photometric_pipeline(images, labels, key, base_aug,
-                                        mean=base_mean, std=base_std)
-
-        aug_key = jax.random.PRNGKey(cfg.runtime.seed + 11)
-
     for epoch in range(start_epoch, int(tc.epochs)):
         t0 = time.time()
         if close_mosaic and epoch >= int(tc.epochs) - close_mosaic:
@@ -241,6 +313,14 @@ def train(cfg) -> dict:
         dl_train.set_epoch(epoch)
         last_loss = float("nan")
         for it, batch in enumerate(dl_train):
+            if pipe_loop is not None:
+                # one loader batch = one microbatch; the loop steps every
+                # `accum` feeds (and folds per-microbatch aug keys itself)
+                wloss = pipe_loop.feed(np.asarray(batch[0]),
+                                       np.asarray(batch[1]))
+                if wloss is not None:
+                    last_loss = wloss
+                continue
             imgs, lbs = put(batch)
             if device_augs:
                 imgs, lbs = apply_device_augs(
@@ -248,23 +328,35 @@ def train(cfg) -> dict:
                     jax.random.fold_in(aug_key, epoch * len(dl_train) + it))
             state, loss = step(state, imgs, lbs)
             last_loss = float(loss)
-        state = flush(state)
+        if pipe_loop is not None:
+            wloss = pipe_loop.flush()
+            if wloss is not None:
+                last_loss = wloss
+            ema_vars = pipe_loop.ema_variables
+        else:
+            state = flush(state)
+            ema_vars = state.ema_variables
 
-        res = evaluator.evaluate(state.ema_variables, dl_val)
+        res = evaluator.evaluate(ema_vars, dl_val)
         fitness = res["mIoU"]
         logger.info(f"epoch {epoch}: loss {last_loss:.4f} mIoU {fitness:.4f} "
                     f"acc {res['accuracy']:.4f} ({time.time() - t0:.1f}s)")
         if fitness > best_miou:
             best_miou = fitness
-            ckpt.save_variables("best", state.ema_variables)
+            ckpt.save_variables("best", ema_vars)
         should_stop = stopper(epoch, fitness)
-        ckpt.save_full("last", state, epoch, best_miou, 0.0,
-                       stopper.state_dict())
+        if pipe_loop is not None:
+            ckpt.save_pipeline_full("last", pipe_loop.states, epoch,
+                                    best_miou, 0.0, stopper.state_dict())
+        else:
+            ckpt.save_full("last", state, epoch, best_miou, 0.0,
+                           stopper.state_dict())
         if should_stop:
             logger.info(f"Early stopping at epoch {epoch}")
             break
 
-    ckpt.save_variables("final", state.ema_variables)
+    ckpt.save_variables("final", pipe_loop.ema_variables
+                        if pipe_loop is not None else state.ema_variables)
     return {"best_miou": best_miou}
 
 

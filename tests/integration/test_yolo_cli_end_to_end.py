@@ -90,6 +90,52 @@ def test_train_yolo_device_augs(tmp_path, monkeypatch):
         train(cfg2)
 
 
+def test_train_yolo_pipeline_3stage(tmp_path, monkeypatch):
+    """runtime.pipeline=3 through the YOLO CLI: the N-stage engine's
+    trunk-front | trunk-back | neck+heads split trains end to end on the
+    virtual mesh (device_augs composed — the photometric chain runs as the
+    pipeline's stage-0 aug_fn), writes per-stage checkpoints, and resumes."""
+    import pytest
+
+    from cabinet_tpu.cli.train_yolo import train
+    from cabinet_tpu.core.exceptions import ConfigurationError
+
+    data_root = _make_tree(tmp_path / "data", n=4, size=(48, 48))
+    exp = tmp_path / "exp_pp3"
+    monkeypatch.setenv("UAVID_YOLO_ROOT", str(data_root))
+    base = [
+        "dataset=uavid",
+        "training_config.batch_size=2",
+        "training_config.num_workers=0",
+        "training_config.imgsz=32",
+        "training_config.nbs=4",  # accum=2: window + trailing flush
+        "training_config.cls_pw=0.5",
+        "training_config.patience=0",
+        f"training_config.experiments_path={exp}",
+        "validation_config.batch_size=1",
+        "validation_config.num_workers=0",
+        "runtime.compute_dtype=float32",
+        "+runtime.device_augs=true",
+        "+runtime.pipeline=3",
+    ]
+    res = train(compose(CONFIG_DIR, "train_yolo",
+                        base + ["training_config.epochs=1"]))
+    assert np.isfinite(res["best_miou"])
+    assert (exp / "last").exists()
+    assert (exp / "last.meta.json").exists()
+
+    # resume restores the per-stage states
+    res2 = train(compose(CONFIG_DIR, "train_yolo",
+                         base + ["training_config.epochs=2",
+                                 "training_config.resume=true"]))
+    assert np.isfinite(res2["best_miou"])
+
+    with pytest.raises(ConfigurationError, match="pipeline"):
+        train(compose(CONFIG_DIR, "train_yolo",
+                      base + ["training_config.epochs=1",
+                              "runtime.pipeline=5"]))
+
+
 def test_train_yolo_resume_continues(tmp_path, monkeypatch):
     """Interrupt-and-resume through the YOLO CLI: a 1-epoch run resumed to 2
     epochs restores step/EMA/stopper state (reference train_yolo.py:82-98)."""
