@@ -252,6 +252,10 @@ def train(cfg) -> dict:
         pipe_loop = PipelineTrainLoop(
             pipe, pipe.init_state(jax.device_get(variables)),
             aug_key=aug_key)
+        # per-epoch eval merges stage variables device-to-device onto a
+        # global mesh (train/pipeline.py merged_variables_on — never a
+        # host gather; same design as cli.train's pipeline eval path)
+        pp_eval_mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
         logger.info(f"Pipeline: {pp_stages} stages x dp{pp_dp}; "
                     f"accum={accum} total_steps={total_steps}")
     else:
@@ -332,7 +336,8 @@ def train(cfg) -> dict:
             wloss = pipe_loop.flush()
             if wloss is not None:
                 last_loss = wloss
-            ema_vars = pipe_loop.ema_variables
+            ema_vars = pipe_loop.pipe.merged_variables_on(
+                pipe_loop.states, pp_eval_mesh, ema=True)
         else:
             state = flush(state)
             ema_vars = state.ema_variables
