@@ -234,6 +234,37 @@ def test_decode_cache_roundtrip_and_invalidation(tmp_path):
     assert len(list((cache / "uavid_train").glob("*.npz"))) >= 2
 
 
+def test_decode_cache_under_worker_loader(tmp_path):
+    """The cache must be correct under the thread loader's concurrent
+    workers (atomic rename; racing writers both produce the same bytes) and
+    across the grain loader (which wraps the same __getitem__)."""
+    from cabinet_tpu.data.datasets import UAVid
+    from cabinet_tpu.data.loader import DataLoader
+
+    root = _tree(tmp_path / "data", n=4)
+    cache = tmp_path / "cache"
+    kw = dict(ignore_lb=255, rootpth=str(root), cropsize=[16, 16],
+              mode="train", seed=3, geometric="device", photometric="device")
+    plain = UAVid(**kw)
+    cached = UAVid(decode_cache=str(cache), **kw)
+
+    dl = DataLoader(cached, batch_size=2, num_workers=3, shuffle=False)
+    batches = [b for b in dl]
+    assert len(list((cache / "uavid_train").glob("*.npz"))) == 4
+    # second pass serves from cache; triples bit-equal to the plain path
+    batches2 = [b for b in dl]
+    for (ci, cl, hw), (ci2, cl2, hw2) in zip(batches, batches2):
+        np.testing.assert_array_equal(ci, ci2)
+        np.testing.assert_array_equal(cl, cl2)
+        np.testing.assert_array_equal(hw, hw2)
+    flat_i = np.concatenate([b[0] for b in batches])
+    flat_l = np.concatenate([b[1] for b in batches])
+    for i in range(4):
+        pi, pl, _ = plain[i]
+        np.testing.assert_array_equal(flat_i[i], pi)
+        np.testing.assert_array_equal(flat_l[i], pl)
+
+
 def test_decode_cache_keys_on_lut(tmp_path):
     """CityScapes cached canvases bake the id->trainId remap in: a
     different LUT (ignore_lb here) must produce a different cache key."""
