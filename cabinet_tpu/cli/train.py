@@ -158,7 +158,11 @@ def train_and_evaluate(cfg) -> dict:
                 "sub-meshes (use runtime.pipeline_dp for intra-stage DP).")
         from cabinet_tpu.core.mesh import auto_data_axis
 
-        # intra-stage DP must divide the MICROBATCH (= the loader batch)
+        # intra-stage DP must divide the MICROBATCH (= the loader batch);
+        # runtime.pipeline_tp > 1 additionally channel-shards each stage
+        # over its own model axis (PP x TP x DP; equivalence-tested in
+        # tests/unit/test_pipeline.py::test_pipeline_tp_composition...)
+        pp_tp = int(cfg.select("runtime.pipeline_tp", 1) or 1)
         pp_dp = int(cfg.select("runtime.pipeline_dp", 0) or 0)
         if pp_dp:
             if int(tc.batch_size) % pp_dp:
@@ -166,21 +170,26 @@ def train_and_evaluate(cfg) -> dict:
                     f"runtime.pipeline_dp={pp_dp} must divide the "
                     f"per-microbatch batch_size ({tc.batch_size})")
         else:
-            pp_dp = auto_data_axis(int(tc.batch_size),
-                                   max(1, len(jax.devices()) // pp_stages))
+            pp_dp = auto_data_axis(
+                int(tc.batch_size),
+                max(1, len(jax.devices()) // (pp_stages * pp_tp)))
         pipe = CabinetPipeline(
             model,
             tx_factory=lambda p: build_optimizer(p, max_grad_norm=None,
                                                  **opt_kwargs),
             n_min=n_min, num_microbatches=accum,
-            meshes=make_pipeline_meshes(n_stages=pp_stages, dp=pp_dp),
+            meshes=make_pipeline_meshes(n_stages=pp_stages, dp=pp_dp,
+                                        tp=pp_tp),
             thresh=0.7, ignore_label=cfg.dataset.ignore_idx,
             class_weights=class_weights,
             compute_dtype=common.compute_dtype_of(cfg),
             max_grad_norm=max_gn, ema_decay=float(tc.ema_decay),
             ema_tau=float(tc.ema_tau))
         pipe_loop = PipelineTrainLoop(
-            pipe, pipe.init_state(jax.device_get(variables)))
+            pipe, pipe.init_state(
+                jax.device_get(variables),
+                tp_min_features=int(cfg.select("runtime.tp_min_features",
+                                               256))))
     else:
         tx = build_optimizer(variables["params"], max_grad_norm=max_gn,
                              **opt_kwargs)
@@ -241,8 +250,9 @@ def train_and_evaluate(cfg) -> dict:
         eval_tp = int(cfg.select("runtime.eval_model_axis", 1))
         pp_eval_mesh = _make_mesh(
             n_data=max(1, len(jax.devices()) // eval_tp), n_model=eval_tp)
-        logger.info(f"Pipeline: {pp_stages} stages x dp{pp_dp}; "
-                    f"max_iter={max_iter}; n_min={n_min}; accum={accum}; "
+        logger.info(f"Pipeline: {pp_stages} stages x dp{pp_dp}"
+                    + (f" x tp{pp_tp}" if pp_tp > 1 else "") +
+                    f"; max_iter={max_iter}; n_min={n_min}; accum={accum}; "
                     f"eval mesh {dict(pp_eval_mesh.shape)}")
     else:
         from cabinet_tpu.core.mesh import auto_data_axis, shard_model_parallel

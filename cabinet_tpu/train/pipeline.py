@@ -44,7 +44,11 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from cabinet_tpu.core.mesh import batch_sharding, make_mesh, replicate
+from cabinet_tpu.core.mesh import (
+    batch_sharding,
+    make_mesh,
+    shard_model_parallel,
+)
 from cabinet_tpu.train.ema import EmaState, ema_init, ema_update
 from cabinet_tpu.train.losses import ohem_cross_entropy
 
@@ -109,16 +113,23 @@ def merge_variables(parts: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return merged
 
 
-def make_pipeline_meshes(n_stages: int = 2, dp: int = 1,
+def make_pipeline_meshes(n_stages: int = 2, dp: int = 1, tp: int = 1,
                          devices: Optional[Sequence[jax.Device]] = None,
                          ) -> List[Any]:
-    """Contiguous device groups, one (dp, 1) mesh per pipeline stage."""
+    """Contiguous device groups, one (dp, tp) mesh per pipeline stage.
+
+    tp > 1 composes pipeline with per-stage TENSOR parallelism: each
+    stage's wide channels shard over its own model axis (init_state places
+    them by core/mesh.py tensor_parallel_spec) and GSPMD partitions that
+    stage's program — PP x TP x DP from one mesh list, no engine changes
+    (the per-stage jits infer everything from operand shardings)."""
     devices = list(devices if devices is not None else jax.devices())
-    need = n_stages * dp
+    per = dp * tp
+    need = n_stages * per
     if len(devices) < need:
         raise ValueError(f"pipeline needs {need} devices, have {len(devices)}")
-    return [make_mesh(n_data=dp, n_model=1,
-                      devices=devices[i * dp:(i + 1) * dp])
+    return [make_mesh(n_data=dp, n_model=tp,
+                      devices=devices[i * per:(i + 1) * per])
             for i in range(n_stages)]
 
 
@@ -319,9 +330,17 @@ class CabinetPipeline:
 
     # -- state ------------------------------------------------------------
 
-    def init_state(self, variables: Dict[str, Any]) -> List[StageState]:
+    def init_state(self, variables: Dict[str, Any],
+                   tp_min_features: int = 256) -> List[StageState]:
         """Split full-model variables into per-stage states on their meshes
-        and build each stage's optimizer + jitted update program."""
+        and build each stage's optimizer + jitted update program.
+
+        On meshes with a model axis > 1 (make_pipeline_meshes tp > 1) the
+        stage state is physically TP-sharded (core/mesh.py
+        shard_model_parallel trailing-feature rule; optimizer/EMA mirrors
+        follow the same shape rule); GSPMD then partitions every per-stage
+        program from the operand shardings alone. A size-1 model axis is
+        exactly replicate."""
         parts = split_variables(variables, self.stage_keys)
         self._txs, self._update_fns, states = [], [], []
         for part, mesh in zip(parts, self.meshes):
@@ -333,7 +352,8 @@ class CabinetPipeline:
                 step=jnp.zeros((), jnp.int32),
                 ema=ema_init({"params": params, "batch_stats": stats},
                              decay=self.ema_decay, tau=self.ema_tau))
-            states.append(replicate(state, mesh))
+            states.append(shard_model_parallel(state, mesh,
+                                               min_features=tp_min_features))
             self._txs.append(tx)
             self._update_fns.append(self._make_update(tx))
         return states

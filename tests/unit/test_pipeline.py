@@ -285,6 +285,47 @@ def test_pipeline_3stage_yolosem_equivalent_to_fused():
     assert all(int(s.step) == 1 for s in states)
 
 
+@pytest.mark.slow
+def test_pipeline_tp_composition_matches_fused():
+    """PP x TP x DP: 2 stages, each on a (dp=2, tp=2) sub-mesh — stage
+    params physically channel-sharded over the stage's model axis — must
+    produce the fused trainer's update. Completes the scale-out
+    composition matrix the r4 pipeline work opened (pp x aug and TP eval
+    landed earlier in r5)."""
+    from jax.sharding import PartitionSpec
+
+    from cabinet_tpu.core.mesh import MODEL_AXIS
+
+    model, variables, images, labels = _model_and_batch()
+    fused, fused_loss = _fused_reference(model, variables, images, labels,
+                                         1.0)
+
+    meshes = make_pipeline_meshes(n_stages=2, dp=2, tp=2)
+    pipe = CabinetPipeline(
+        model,
+        tx_factory=lambda p: build_optimizer(p, max_grad_norm=None, **OPT),
+        n_min=N_MIN, num_microbatches=M, meshes=meshes, max_grad_norm=1.0)
+    states = pipe.init_state(variables, tp_min_features=16)
+
+    def tp_sharded(arr):
+        spec = getattr(arr.sharding, "spec", PartitionSpec())
+        return any(e == MODEL_AXIS or
+                   (isinstance(e, tuple) and MODEL_AXIS in e) for e in spec)
+
+    n_sharded = sum(tp_sharded(a) for s in states
+                    for a in jax.tree_util.tree_leaves(s.params))
+    assert n_sharded > 0, "tp=2 placement sharded no stage params"
+
+    states, loss = pipe.train_step(states, images, labels)
+    merged = pipe.merged_variables(states)
+    _assert_tree_close(merged["params"], jax.device_get(fused.params),
+                       rtol=1e-4, atol=1e-6)
+    _assert_tree_close(merged["batch_stats"],
+                       jax.device_get(fused.batch_stats),
+                       rtol=1e-4, atol=1e-6)
+    assert np.isclose(float(loss), fused_loss, rtol=1e-4)
+
+
 def test_pipeline_requires_methods_beyond_two_stages():
     model, variables, *_ = _model_and_batch()
     with pytest.raises(ValueError, match="stage_methods"):
