@@ -113,23 +113,26 @@ def bench_infer(fused: bool, use_pallas: bool = True,
     from functools import partial
 
     model, variables = _build(use_pallas=use_pallas, mode=mode)
-    if fused == "int8":
+    if fused in ("int8", "int8dw"):
         from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
 
         calib = jnp.asarray(np.random.default_rng(1).normal(size=(8, H, W, 3)),
                             jnp.bfloat16)
-        scales = collect_act_scales(model, variables, [calib])
+        scales = collect_act_scales(model, variables, [calib],
+                                    quantize_depthwise=(fused == "int8dw"))
         q_apply = make_quantized_apply(model, scales)
 
         def forward(img):
             return q_apply(variables, img, train=False)
-    elif fused == "tail-int8":
+    elif fused in ("tail-int8", "tail-int8dw"):
         from cabinet_tpu.models import make_fused_tail_apply
         from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
 
         calib = jnp.asarray(np.random.default_rng(1).normal(size=(8, H, W, 3)),
                             jnp.bfloat16)
-        scales = collect_act_scales(model, variables, [calib])
+        scales = collect_act_scales(
+            model, variables, [calib],
+            quantize_depthwise=(fused == "tail-int8dw"))
         forward = make_fused_tail_apply(
             model, variables, apply_fn=make_quantized_apply(model, scales))
     elif fused == "tail":
@@ -168,7 +171,9 @@ def bench_infer(fused: bool, use_pallas: bool = True,
         if ips > best:
             best, best_batch, best_x = ips, batch, x
 
-    tag = ("fused-tail+int8-branches" if fused == "tail-int8"
+    tag = ("fused-tail+int8dw-branches" if fused == "tail-int8dw"
+           else "fused-tail+int8-branches" if fused == "tail-int8"
+           else "int8-PTQ+dw-chain" if fused == "int8dw"
            else "int8-PTQ" if fused == "int8"
            else "fused-tail+pallas-attn" if fused == "tail"
            else "fused-early" if fused
@@ -717,6 +722,10 @@ def main() -> None:
     elif mode == "infer-fused-tail-int8":
         # Fused decoder tail + int8 PTQ on the branch/backbone MXU convs.
         out = bench_infer(fused="tail-int8", use_pallas=True)
+    elif mode == "infer-fused-tail-int8dw":
+        # Fused decoder tail + int8 branches WITH the depthwise activation
+        # chain (quant.dw_site_predicate).
+        out = bench_infer(fused="tail-int8dw", use_pallas=True)
     elif mode == "infer-fused-tail":
         # Fused FFM+head decoder tail (ops/decoder_tail.py) on top of the
         # Pallas CAB attention.
@@ -730,6 +739,11 @@ def main() -> None:
         # bf16 rate; depthwise/attention stay bf16. Random-data calibration
         # (timing only; quality protocol lives in tests/unit/test_quant.py).
         out = bench_infer(fused="int8", use_pallas=False)
+    elif mode == "infer-int8dw":
+        # int8 activation chain: depthwise convs quantized too, so the
+        # inverted-residual expand->dw->project hops move int8 activations
+        # (quant.dw_site_predicate — the bandwidth lever from NOTES r4).
+        out = bench_infer(fused="int8dw", use_pallas=False)
     elif mode == "train":
         out = bench_train(batches, remat=False)
     elif mode == "train-remat":

@@ -48,9 +48,11 @@ def evaluate_checkpoint(cfg) -> dict:
 
     # int8 PTQ serving path (opt-in): calibrate activation scales on the
     # first val batches, then run MXU convs in int8 (cabinet_tpu/quant.py).
-    # `+runtime.quantize=int8` on the CLI.
+    # `+runtime.quantize=int8` on the CLI; `int8dw` additionally quantizes
+    # the depthwise hops (int8 activation chain, quant.dw_site_predicate).
     base_apply = model.apply
-    if str(cfg.select("runtime.quantize", "")) == "int8":
+    quantize = str(cfg.select("runtime.quantize", ""))
+    if quantize in ("int8", "int8dw"):
         from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
 
         n_calib = int(cfg.select("runtime.calib_batches", 2))
@@ -62,7 +64,8 @@ def evaluate_checkpoint(cfg) -> dict:
             # RANGES, not full frames, and one fixed shape = one compile
             img = jnp.asarray(images, common.compute_dtype_of(cfg))
             calib.append(img[:, :crop, :crop, :])
-        scales = collect_act_scales(model, variables, calib)
+        scales = collect_act_scales(model, variables, calib,
+                                    quantize_depthwise=(quantize == "int8dw"))
         base_apply = make_quantized_apply(model, scales)
         RichConsoleManager.get_console().print(
             f"[info]int8 PTQ: {len(scales)} convs quantized, "

@@ -45,7 +45,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering platforms (e.g. tpu,cpu); "
                         "default: this host's platform")
-    p.add_argument("--quantize", default=None, choices=("int8",),
+    p.add_argument("--quantize", default=None, choices=("int8", "int8dw"),
                    help="bake the int8 PTQ serving path into the artifact "
                         "(cabinet_tpu/quant.py); requires --calib")
     p.add_argument("--calib", default=None, metavar="GLOB",
@@ -96,7 +96,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                  "batch_stats": loaded.get("batch_stats", {})}
 
     apply_fn = None
-    if args.quantize == "int8":
+    if args.quantize in ("int8", "int8dw"):
         import glob as globmod
 
         from PIL import Image
@@ -104,7 +104,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
 
         if not args.calib:
-            raise SystemExit("--quantize int8 requires --calib <glob>")
+            raise SystemExit(f"--quantize {args.quantize} requires --calib <glob>")
         paths = sorted(globmod.glob(args.calib))
         if not paths:
             raise SystemExit(f"--calib matched no files: {args.calib}")
@@ -116,7 +116,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 (args.imgsz, args.imgsz), Image.BILINEAR)
             frames.append((np.asarray(im, np.float32) / 255.0 - mean) / std)
         calib = jnp.asarray(np.stack(frames), dtype)
-        scales = collect_act_scales(model, variables, [calib])
+        scales = collect_act_scales(
+            model, variables, [calib],
+            quantize_depthwise=(args.quantize == "int8dw"))
         apply_fn = make_quantized_apply(model, scales)
         console.print(f"[info]int8 PTQ: calibrated {len(scales)} conv sites "
                       f"on {len(frames)} frames[/info]")

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from cabinet_tpu.models.layers import DepthwiseConv2D
+
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
@@ -94,18 +96,41 @@ def _is_conv_call(mod, context) -> bool:
     return isinstance(mod, nn.Conv) and context.method_name == "__call__"
 
 
+def _is_dw_call(mod, context) -> bool:
+    return (isinstance(mod, DepthwiseConv2D)
+            and context.method_name == "__call__")
+
+
+def dw_site_predicate(path: Tuple[str, ...], kernel_shape) -> bool:
+    """Quantize depthwise convs wide enough to be bandwidth-bound.
+
+    Depthwise convs never ride the MXU (per-channel spatial filters), so
+    there is no compute win — the point of quantizing them is BANDWIDTH:
+    between the backbone's quantized 1x1 expand and project convs sits a
+    depthwise 3x3, and if it consumes/produces bf16 the inverted-residual
+    activations are materialized at 2 bytes across the hop. With the dw
+    hop also int8, XLA's epilogue fusions write int8 activations across
+    the whole expand->dw->project chain (the "int8 activation chain"
+    lever, NOTES r4 int8 section).
+    """
+    return kernel_shape[3] >= 16
+
+
 def collect_act_scales(
     model: nn.Module,
     variables: Any,
     batches: Iterable[jnp.ndarray],
     site_predicate: Callable = default_site_predicate,
+    quantize_depthwise: bool = False,
     **apply_kwargs,
 ) -> Dict[str, float]:
     """Run calibration forwards, returning {conv_path: act_scale}.
 
     The observer records max|input| per quantizable conv inside the SAME
     jitted trace as the forward (no eager re-execution), reduced with `max`
-    across batches; scales are absmax / 127.
+    across batches; scales are absmax / 127. With `quantize_depthwise`,
+    `DepthwiseConv2D` sites passing `dw_site_predicate` are calibrated too
+    (the int8-activation-chain mode — see dw_site_predicate).
     """
 
     def observed(variables, x):
@@ -113,12 +138,17 @@ def collect_act_scales(
 
         def interceptor(next_fn, args, kwargs, context):
             mod = context.module
+            quantizable = False
             if _is_conv_call(mod, context):
                 kshape = tuple(mod.variables["params"]["kernel"].shape)
-                if site_predicate(mod.path, kshape):
-                    key = "/".join(mod.path)
-                    absmax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
-                    stash[key] = jnp.maximum(stash.get(key, 0.0), absmax)
+                quantizable = site_predicate(mod.path, kshape)
+            elif quantize_depthwise and _is_dw_call(mod, context):
+                kshape = tuple(mod.variables["params"]["kernel"].shape)
+                quantizable = dw_site_predicate(mod.path, kshape)
+            if quantizable:
+                key = "/".join(mod.path)
+                absmax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                stash[key] = jnp.maximum(stash.get(key, 0.0), absmax)
             return next_fn(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):
@@ -152,6 +182,31 @@ def _quantized_conv(mod: nn.Conv, x: jnp.ndarray, act_scale: float) -> jnp.ndarr
     return y.astype(out_dtype)
 
 
+def _quantized_dw(mod: DepthwiseConv2D, x: jnp.ndarray,
+                  act_scale: float) -> jnp.ndarray:
+    """int8 depthwise conv: per-channel weight scales, int32 accumulation.
+
+    Kernel layout (kH, kW, 1, C) — max over (0,1,2) IS per-channel here.
+    No bias (DepthwiseConv2D has none). Geometry mirrors the module's own
+    lowering (models/layers.py:85-98) exactly.
+    """
+    w = mod.variables["params"]["kernel"].astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / act_scale)),
+                  -127, 127).astype(jnp.int8)
+    channels = x.shape[-1]
+    k = mod.kernel_size
+    pad = mod.padding if mod.padding is not None else (k - 1) // 2
+    y = lax.conv_general_dilated(
+        xq, wq, (mod.stride, mod.stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=lax.conv_dimension_numbers(x.shape, wq.shape, _DN),
+        feature_group_count=channels,
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (sw * act_scale)
+    return y.astype(mod.dtype)
+
+
 def make_quantized_apply(
     model: nn.Module,
     act_scales: Dict[str, float],
@@ -161,6 +216,8 @@ def make_quantized_apply(
     Drop-in for `model.apply` in inference contexts (MscEval, cli.infer,
     bench). Sites absent from `act_scales` run the normal bf16 path, so
     partial quantization (e.g. decoder-only) is just a filtered dict.
+    Depthwise sites appear in `act_scales` only when calibration ran with
+    `quantize_depthwise=True`.
     """
 
     def apply(variables, x, **apply_kwargs):
@@ -171,6 +228,11 @@ def make_quantized_apply(
                 scale = act_scales.get(key)
                 if scale is not None:
                     return _quantized_conv(mod, args[0], scale)
+            elif _is_dw_call(mod, context):
+                key = "/".join(mod.path)
+                scale = act_scales.get(key)
+                if scale is not None:
+                    return _quantized_dw(mod, args[0], scale)
             return next_fn(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):

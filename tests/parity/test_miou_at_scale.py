@@ -254,32 +254,41 @@ def test_int8_ptq_miou_at_scale(trained_variables):
     model = CABiNet(n_classes=N_CLASSES, mode="small", cfgs=SMALL_CFGS)
     rng = np.random.default_rng(23)
     calib_img, _ = _synthetic(rng, 256, 64)
-    scales_map = collect_act_scales(model, trained_variables,
-                                    [jnp.asarray(calib_img[None])])
-    assert len(scales_map) > 5
-    q_apply = make_quantized_apply(model, scales_map)
 
-    # 2 scales (not the full 6): the protocol programs compile for BOTH
-    # evaluators on the 1-core CI host. 0.75 exercises the sub-native
+    # 2 scales (not the full 6): the protocol programs compile for EVERY
+    # evaluator on the 1-core CI host. 0.75 exercises the sub-native
     # input-downscale leg, 1.25 the prob-map-downscale return trip — every
     # protocol element the quant delta could hide in (the full 6-scale
     # protocol is covered by test_miou_parity_at_scale on the same fixture).
     eval_scales = (0.75, 1.25)
     ev_f = MscEval(model.apply, N_CLASSES, ignore_label=255,
                    scales=eval_scales, flip=True, cropsize=256)
-    ev_q = MscEval(q_apply, N_CLASSES, ignore_label=255,
-                   scales=eval_scales, flip=True, cropsize=256)
 
     image, lbl = _synthetic(rng, 512, 64)
     lbl[:32] = 255
     im, lb = image[None], lbl[None]
     res_f = ev_f.evaluate(trained_variables, [(im, lb)])
-    res_q = ev_q.evaluate(trained_variables, [(im, lb)])
-
     assert res_f["mIoU"] > 0.9  # the comparison is not vacuous
-    assert abs(res_q["mIoU"] - res_f["mIoU"]) < 0.01, (
-        f"int8 moved mIoU {res_f['mIoU']:.4f} -> {res_q['mIoU']:.4f}")
     total = res_f["confusion_matrix"].sum()
-    moved = np.abs(res_q["confusion_matrix"]
-                   - res_f["confusion_matrix"]).sum() / 2
-    assert moved <= 5e-3 * total, f"{moved} of {total} pixels flipped"
+
+    # both serving modes against the one float leg: plain int8 (MXU convs
+    # only) and the int8 activation chain (depthwise hops quantized too —
+    # quant.dw_site_predicate, the fastest measured config: 1143.8 img/s
+    # fused-tail+int8dw vs 1132.3 bf16 on the real chip)
+    for quantize_depthwise in (False, True):
+        scales_map = collect_act_scales(
+            model, trained_variables, [jnp.asarray(calib_img[None])],
+            quantize_depthwise=quantize_depthwise)
+        assert len(scales_map) > 5
+        q_apply = make_quantized_apply(model, scales_map)
+        ev_q = MscEval(q_apply, N_CLASSES, ignore_label=255,
+                       scales=eval_scales, flip=True, cropsize=256)
+        res_q = ev_q.evaluate(trained_variables, [(im, lb)])
+
+        tag = "int8dw" if quantize_depthwise else "int8"
+        assert abs(res_q["mIoU"] - res_f["mIoU"]) < 0.01, (
+            f"{tag} moved mIoU {res_f['mIoU']:.4f} -> {res_q['mIoU']:.4f}")
+        moved = np.abs(res_q["confusion_matrix"]
+                       - res_f["confusion_matrix"]).sum() / 2
+        assert moved <= 5e-3 * total, (
+            f"{tag}: {moved} of {total} pixels flipped")

@@ -119,6 +119,70 @@ def test_site_predicate_contract():
     assert default_site_predicate(("conv_out", "conv", "conv"), (3, 3, 256, 256))
 
 
+def test_depthwise_sites_opt_in(setup):
+    """quantize_depthwise=True adds DepthwiseConv2D sites (the int8
+    activation-chain mode); default calibration must not touch them."""
+    model, variables, batch = setup
+    base = collect_act_scales(model, variables, [batch])
+    chain = collect_act_scales(model, variables, [batch],
+                               quantize_depthwise=True)
+    dw_keys = set(chain) - set(base)
+    assert dw_keys, "no depthwise sites calibrated"
+    # every added site is a dw conv (kernel (k,k,1,C)) in the backbone or CAB
+    params = variables["params"]
+    for key in dw_keys:
+        node = params
+        for part in key.split("/"):
+            node = node[part]
+        kshape = node["kernel"].shape
+        assert kshape[2] == 1 and kshape[3] >= 16, (key, kshape)
+    # the nn.Conv sites are unchanged
+    for key in base:
+        assert chain[key] == pytest.approx(base[key])
+
+
+def test_depthwise_quantized_forward_tracks_float(setup):
+    model, variables, batch = setup
+    scales = collect_act_scales(model, variables, [batch],
+                                quantize_depthwise=True)
+    report = quantization_report(model, variables, scales, batch, train=False)
+    assert report["argmax_agreement"] > 0.95
+    ref, _ = model.apply(variables, batch, train=False)
+    spread = float(jnp.std(ref.astype(jnp.float32)))
+    assert report["mean_abs_logit_delta"] < 0.25 * max(spread, 1e-6)
+
+
+def test_quantized_dw_matches_float_dw_closely():
+    """_quantized_dw against the module's own float lowering on one site."""
+    from cabinet_tpu.models.layers import DepthwiseConv2D
+    from cabinet_tpu.quant import _quantized_dw
+
+    mod = DepthwiseConv2D(kernel_size=3, stride=2, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(variables, x)
+
+    got = None
+
+    def interceptor(next_fn, args, kwargs, context):
+        nonlocal got
+        if (isinstance(context.module, DepthwiseConv2D)
+                and context.method_name == "__call__"):
+            got = _quantized_dw(context.module, args[0],
+                                float(jnp.max(jnp.abs(x))) / 127.0)
+            return got
+        return next_fn(*args, **kwargs)
+
+    import flax.linen as nn
+    with nn.intercept_methods(interceptor):
+        mod.apply(variables, x)
+    assert got is not None and got.shape == ref.shape
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err < 0.05 * max(scale, 1e-6)
+
+
 def test_wide_class_heads_stay_float():
     """A >=16-class model (the Cityscapes regime) must not calibrate its
     class-logit heads — they pass the old cout>=16 width check but are
