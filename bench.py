@@ -317,11 +317,14 @@ def bench_train_aug(batch: int = 16, shared: bool = True) -> dict:
     }
 
 
-def bench_latency() -> dict:
+def bench_latency(int8dw: bool = False) -> dict:
     """Batch-1 serving latency on the path cli.infer actually ships: fused
     Pallas decoder tail + Pallas CAB attention (the early-stage kernel joins
     only at batch >= 8 — cli/infer.py batch regimes). The r1 number timed
-    the plain XLA path, which no CLI serves anymore (VERDICT r2 item 6)."""
+    the plain XLA path, which no CLI serves anymore (VERDICT r2 item 6).
+    int8dw adds the int8 activation-chain branches (at batch 1 the weight
+    reads are a large share of HBM traffic, so int8 weights matter more
+    here than in the batched regime)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -329,7 +332,17 @@ def bench_latency() -> dict:
     from cabinet_tpu.models import make_fused_tail_apply
 
     model, variables = _build(use_pallas=True)
-    forward = make_fused_tail_apply(model, variables)
+    if int8dw:
+        from cabinet_tpu.quant import collect_act_scales, make_quantized_apply
+
+        calib = jnp.asarray(np.random.default_rng(1).normal(size=(2, H, W, 3)),
+                            jnp.bfloat16)
+        scales = collect_act_scales(model, variables, [calib],
+                                    quantize_depthwise=True)
+        forward = make_fused_tail_apply(
+            model, variables, apply_fn=make_quantized_apply(model, scales))
+    else:
+        forward = make_fused_tail_apply(model, variables)
 
     @partial(jax.jit, static_argnums=(1,))
     def chain(images, k):
@@ -345,9 +358,11 @@ def bench_latency() -> dict:
     float(chain(x, 1)), float(chain(x, K))
     per = (_min_time(lambda: float(chain(x, K)))
            - _min_time(lambda: float(chain(x, 1)))) / (K - 1)
+    tag = ("serving path + int8dw branches" if int8dw
+           else "serving path: fused tail + pallas attn")
     return {
         "metric": ("CABiNet-Large 1024x1024 bf16 batch-1 latency "
-                   "(serving path: fused tail + pallas attn)"),
+                   f"({tag})"),
         "value": round(per * 1000, 3),
         "unit": "ms/frame",
         "vs_baseline": round((1.0 / per) / BASELINE_IMG_S, 4),
@@ -508,10 +523,13 @@ def bench_serve(concurrency: int = 12, n_requests: int = 72,
     }
 
 
-def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
+def bench_yolo(train_mode: bool, variants=("n", "s", "m"),
+               int8: bool = False) -> dict:
     """YOLO-sem family perf (VERDICT r2 item 7: the second model family had
     no speed regression guard). Inference at 1024^2 bf16 (best over a batch
-    sweep) or the jitted CE train step at batch 8."""
+    sweep) or the jitted CE train step at batch 8. int8 runs the PTQ
+    serving path (quant.py; class heads stay float by name — YOLO has no
+    depthwise convs, so there is no dw-chain distinction here)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -524,6 +542,18 @@ def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
         init_x = jnp.zeros((1, H, W, 3), jnp.bfloat16)
         variables = jax.jit(lambda m=model: m.init(jax.random.PRNGKey(0),
                                                    init_x, train=False))()
+        apply_fn = model.apply
+        if int8 and not train_mode:
+            from cabinet_tpu.quant import (
+                collect_act_scales,
+                make_quantized_apply,
+            )
+
+            calib = jnp.asarray(
+                np.random.default_rng(1).normal(size=(4, H, W, 3)),
+                jnp.bfloat16)
+            scales = collect_act_scales(model, variables, [calib])
+            apply_fn = make_quantized_apply(model, scales)
         if train_mode:
             from cabinet_tpu.train.trainer import (
                 create_train_state,
@@ -553,9 +583,9 @@ def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
             continue
 
         @partial(jax.jit, static_argnums=(1,))
-        def chain(images, k, m=model, vs=variables):
+        def chain(images, k, f=apply_fn, vs=variables):
             def body(i, img):
-                logits, _ = m.apply(vs, img, train=False)
+                logits, _ = f(vs, img, train=False)
                 return logits[..., :3].astype(img.dtype)
 
             out = jax.lax.fori_loop(0, k, body, images)
@@ -582,7 +612,9 @@ def bench_yolo(train_mode: bool, variants=("n", "s", "m")) -> dict:
             best = max(best, batch / per)
         results[v] = round(best, 1)
 
-    tag = "train step (batch 8)" if train_mode else "inference (batch 48)"
+    tag = ("train step (batch 8)" if train_mode
+           else "int8-PTQ inference (batch 48)" if int8
+           else "inference (batch 48)")
     top = max(results.values())
     return {
         "metric": f"YOLO-sem 1024x1024 bf16 {tag}; img/s by variant: {results}",
@@ -706,7 +738,11 @@ def bench_eval4k_agree() -> dict:
 def main() -> None:
     args = sys.argv[1:]
     mode = args[0] if args else "infer"
-    batches = tuple(int(a) for a in args[1:]) or (8, 16, 32)
+
+    def batches():
+        # parsed lazily: only the train modes take integer batch args
+        # (e.g. `bench.py yolo n s m` has letter args)
+        return tuple(int(a) for a in args[1:]) or (8, 16, 32)
 
     if mode == "infer":
         # Headline: fused Pallas decoder tail (ops/decoder_tail.py, +7.3%)
@@ -734,6 +770,8 @@ def main() -> None:
         # CABiNet-Small (the table's second flagship config) on the same
         # fused serving path as the headline.
         out = bench_infer(fused="tail", use_pallas=True, mode="small")
+    elif mode == "infer-small-int8dw":
+        out = bench_infer(fused="tail-int8dw", use_pallas=True, mode="small")
     elif mode == "infer-int8":
         # int8 PTQ serving path (cabinet_tpu/quant.py): MXU convs at 2x the
         # bf16 rate; depthwise/attention stay bf16. Random-data calibration
@@ -745,11 +783,13 @@ def main() -> None:
         # (quant.dw_site_predicate — the bandwidth lever from NOTES r4).
         out = bench_infer(fused="int8dw", use_pallas=False)
     elif mode == "train":
-        out = bench_train(batches, remat=False)
+        out = bench_train(batches(), remat=False)
     elif mode == "train-remat":
-        out = bench_train(batches, remat=True)
+        out = bench_train(batches(), remat=True)
     elif mode == "latency":
         out = bench_latency()
+    elif mode == "latency-int8dw":
+        out = bench_latency(int8dw=True)
     elif mode == "aug":
         out = bench_aug(*(int(a) for a in args[1:3]))
     elif mode == "aug-shared":
@@ -770,6 +810,9 @@ def main() -> None:
         out = bench_serve(**kw)
     elif mode == "yolo":
         out = bench_yolo(train_mode=False,
+                         variants=tuple(args[1:]) or ("n", "s", "m"))
+    elif mode == "yolo-int8":
+        out = bench_yolo(train_mode=False, int8=True,
                          variants=tuple(args[1:]) or ("n", "s", "m"))
     elif mode == "yolo-train":
         out = bench_yolo(train_mode=True,

@@ -183,6 +183,27 @@ def test_quantized_dw_matches_float_dw_closely():
     assert err < 0.05 * max(scale, 1e-6)
 
 
+def test_yolosem_quantized_forward_tracks_float():
+    """The second model family through the same PTQ machinery (bench.py
+    yolo-int8): class heads stay float by name, forward stays close."""
+    from cabinet_tpu.models.yolosem import YOLOSem
+
+    model = YOLOSem(n_classes=3, variant="n")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    batch = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 64, 64, 3)).astype(np.float32))
+    scales = collect_act_scales(model, variables, [batch])
+    assert scales
+    assert not any(key.endswith(("classifier", "aux_classifier"))
+                   for key in scales)
+    report = quantization_report(model, variables, scales, batch, train=False)
+    assert report["argmax_agreement"] > 0.95
+    ref, _ = model.apply(variables, batch, train=False)
+    spread = float(jnp.std(ref.astype(jnp.float32)))
+    assert report["mean_abs_logit_delta"] < 0.25 * max(spread, 1e-6)
+
+
 def test_wide_class_heads_stay_float():
     """A >=16-class model (the Cityscapes regime) must not calibrate its
     class-logit heads — they pass the old cout>=16 width check but are
